@@ -1,0 +1,103 @@
+"""Disparity-axis multi-head cross-attention.
+
+Capability parity with the reference's SelfAttentionBlock
+(models/augment/SelfAttention_bn.py:62-98): per-pixel attention over the D
+axis with head_dim=8 heads carved from contiguous channel blocks, 1x1x1
+conv+BN+LeakyReLU(0.1) projections, and scaled dot-product with softmax over
+the key-disparity axis. The per-pixel D x D attention is tiny (D<=48), so it
+lowers to batched MXU matmuls via einsum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcanet_tpu.nn.layers import BatchNorm, reference_conv_init
+
+Dtype = Any
+
+
+class Projection(nn.Module):
+    """`buildproject` equivalent (SelfAttention_bn.py:136-160): num_convs of
+    [1x1x1 conv (no bias) -> BN -> LeakyReLU(0.1)] when use_norm, else bare
+    1x1x1 convs."""
+
+    features: int
+    num_convs: int = 1
+    use_norm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for _ in range(self.num_convs):
+            x = nn.Conv(
+                self.features, (1, 1, 1), use_bias=False,
+                kernel_init=reference_conv_init, dtype=self.dtype,
+            )(x)
+            if self.use_norm:
+                x = BatchNorm(dtype=self.dtype)(x, train)
+                x = nn.leaky_relu(x, negative_slope=0.1)
+        return x
+
+
+class DisparityAttentionBlock(nn.Module):
+    """Cross-attention along the disparity axis, per pixel.
+
+    query_feats, key_feats: (B, D, H, W, C). Returns (B, D, H, W, out_channels).
+    """
+
+    transform_channels: int
+    out_channels: int
+    key_query_num_convs: int = 2
+    value_out_num_convs: int = 1
+    key_query_norm: bool = True
+    value_out_norm: bool = True
+    matmul_norm: bool = True
+    with_out_project: bool = True
+    head_dim: int = 8
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, query_feats, key_feats, train: bool):
+        b, d, h, w, c = query_feats.shape
+        hd = self.head_dim
+        tc = self.transform_channels
+        assert tc % hd == 0
+        heads = tc // hd
+
+        query = Projection(
+            tc, self.key_query_num_convs, self.key_query_norm, self.dtype,
+            name="query_project",
+        )(query_feats, train)
+        key = Projection(
+            tc, self.key_query_num_convs, self.key_query_norm, self.dtype,
+            name="key_project",
+        )(key_feats, train)
+        value = Projection(
+            tc if self.with_out_project else self.out_channels,
+            self.value_out_num_convs, self.value_out_norm, self.dtype,
+            name="value_project",
+        )(key_feats, train)
+
+        # channel c = head * head_dim + sub (contiguous head blocks, matching
+        # the reference's reshape(B, C//hd, hd, D, HW)).
+        q = query.reshape(b, d, h, w, heads, hd)
+        k = key.reshape(b, d, h, w, heads, hd)
+        v = value.reshape(b, d, h, w, heads, hd)
+
+        sim = jnp.einsum("bihwne,bjhwne->bhwnij", q, k)
+        if self.matmul_norm:
+            sim = sim * (hd ** -0.5)
+        attn = nn.softmax(sim, axis=-1)  # over key-disparity j
+        ctx = jnp.einsum("bhwnij,bjhwne->bihwne", attn, v)
+        ctx = ctx.reshape(b, d, h, w, heads * hd)
+
+        if self.with_out_project:
+            ctx = Projection(
+                self.out_channels, self.value_out_num_convs,
+                self.value_out_norm, self.dtype, name="out_project",
+            )(ctx, train)
+        return ctx

@@ -1,0 +1,308 @@
+"""Shared NN building blocks (flax.linen, channel-last).
+
+Capability parity with reference models/submodule.py (convbn, convbn_3d,
+BasicBlock, BasicConv, ResidualBlock) with TPU-first choices:
+
+- channel-last layouts (NHWC / NDHWC) so XLA tiles convs onto the MXU;
+- BatchNorm is cross-replica-exact by construction: under jit/pjit the batch
+  axis is global, so batch stats are computed over the full (sharded) batch —
+  this *is* the reference's SyncBN capability (models/lib/nn/modules/
+  batchnorm.py) with zero extra machinery. An optional `axis_name` supports
+  shard_map/pmap execution.
+- kernel init matches the reference's normal(0, sqrt(2/fan_out)) scheme
+  (models/gwcnet_dca_g.py:173-185).
+
+All modules with normalization take `train: bool` in `__call__`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def reference_conv_init(key, shape, dtype=jnp.float32):
+    """normal(0, sqrt(2/n)), n = prod(spatial kernel) * out_channels.
+
+    Matches the reference's init loop (models/gwcnet_dca_g.py:173-185) and
+    kaiming_normal(fan_out, relu) used in Guidance (models/submodule.py:435-442).
+    Kernel layout is (*spatial, in, out).
+    """
+    fan_out = math.prod(shape[:-2]) * shape[-1]
+    return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / fan_out)
+
+
+def _tuple(v, n):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
+
+class BatchNorm(nn.Module):
+    """Thin wrapper pinning torch-equivalent BN defaults (momentum 0.1 torch
+    == 0.9 flax decay, eps 1e-5)."""
+
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )(x)
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) + BatchNorm, 2D or 3D by `dims`.
+
+    Parity: reference `convbn` / `convbn_3d` (models/submodule.py:115-124).
+    `padding` follows torch semantics (symmetric explicit pad); when
+    dilation > 1 the 2D reference pads by `dilation` — callers pass that.
+    """
+
+    features: int
+    kernel: Union[int, Tuple[int, ...]]
+    strides: Union[int, Tuple[int, ...]] = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    dilation: Union[int, Tuple[int, ...]] = 1
+    dims: int = 2
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        n = self.dims
+        pad = _tuple(self.padding, n)
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=_tuple(self.kernel, n),
+            strides=_tuple(self.strides, n),
+            padding=tuple((p, p) for p in pad),
+            kernel_dilation=_tuple(self.dilation, n),
+            use_bias=self.use_bias,
+            kernel_init=reference_conv_init,
+            dtype=self.dtype,
+        )(x)
+        return BatchNorm(dtype=self.dtype)(y, train)
+
+
+class ConvBNAct(nn.Module):
+    """ConvBN + activation (relu by default, matching the reference's
+    `convbn(...) + ReLU` stacks)."""
+
+    features: int
+    kernel: Union[int, Tuple[int, ...]]
+    strides: Union[int, Tuple[int, ...]] = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    dilation: Union[int, Tuple[int, ...]] = 1
+    dims: int = 2
+    act: Callable = nn.relu
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = ConvBN(
+            self.features, self.kernel, self.strides, self.padding,
+            self.dilation, self.dims, dtype=self.dtype,
+        )(x, train)
+        return self.act(y)
+
+
+class BasicBlock(nn.Module):
+    """Residual block of the feature extractor.
+
+    Parity: reference models/submodule.py:251-273 — convbn+relu, convbn,
+    optional 1x1-conv+BN downsample, residual add with NO trailing relu.
+    """
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    padding: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_planes = x.shape[-1]
+        pad = self.dilation if self.dilation > 1 else self.padding
+        out = ConvBNAct(
+            self.planes, 3, self.strides, pad, self.dilation, dims=2,
+            dtype=self.dtype,
+        )(x, train)
+        out = ConvBN(
+            self.planes, 3, 1, pad, self.dilation, dims=2, dtype=self.dtype
+        )(out, train)
+        if self.strides != 1 or in_planes != self.planes:
+            x = nn.Conv(
+                self.planes, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, kernel_init=reference_conv_init,
+                dtype=self.dtype,
+            )(x)
+            x = BatchNorm(dtype=self.dtype)(x, train)
+        return out + x
+
+
+class BasicConv(nn.Module):
+    """Conv(+BN)(+ReLU), parity with reference BasicConv
+    (models/submodule.py:276-302)."""
+
+    features: int
+    kernel: Union[int, Tuple[int, ...]] = 3
+    strides: Union[int, Tuple[int, ...]] = 1
+    padding: Union[int, Tuple[int, ...]] = 1
+    dims: int = 2
+    use_bn: bool = True
+    use_relu: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        n = self.dims
+        pad = _tuple(self.padding, n)
+        y = nn.Conv(
+            self.features,
+            kernel_size=_tuple(self.kernel, n),
+            strides=_tuple(self.strides, n),
+            padding=tuple((p, p) for p in pad),
+            use_bias=False,
+            kernel_init=reference_conv_init,
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            y = BatchNorm(dtype=self.dtype)(y, train)
+        if self.use_relu:
+            y = nn.relu(y)
+        return y
+
+
+class ResidualBlock(nn.Module):
+    """Guidance-net residual block; parity with reference ResidualBlock
+    (models/submodule.py:305-354), norm_fn='batch' flavor (the committed
+    configuration; Guidance(norm_fn='batch'))."""
+
+    planes: int
+    strides: int = 1
+    norm_fn: str = "batch"
+    dtype: Optional[Dtype] = None
+
+    def _norm(self, x, train):
+        if self.norm_fn == "batch":
+            return BatchNorm(dtype=self.dtype)(x, train)
+        if self.norm_fn == "group":
+            return nn.GroupNorm(num_groups=self.planes // 8, dtype=self.dtype)(x)
+        if self.norm_fn == "instance":
+            # torch InstanceNorm2d default: no affine params
+            return nn.GroupNorm(
+                num_groups=x.shape[-1], use_bias=False, use_scale=False,
+                dtype=self.dtype,
+            )(x)
+        if self.norm_fn == "none":
+            return x
+        raise ValueError(self.norm_fn)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        in_planes = x.shape[-1]
+        y = nn.Conv(
+            self.planes, (3, 3), strides=(self.strides, self.strides),
+            padding=((1, 1), (1, 1)), use_bias=True,
+            kernel_init=reference_conv_init, dtype=self.dtype,
+        )(x)
+        y = nn.relu(self._norm(y, train))
+        y = nn.Conv(
+            self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=True,
+            kernel_init=reference_conv_init, dtype=self.dtype,
+        )(y)
+        y = nn.relu(self._norm(y, train))
+        if self.strides != 1:
+            x = nn.Conv(
+                self.planes, (1, 1), strides=(self.strides, self.strides),
+                use_bias=True, kernel_init=reference_conv_init,
+                dtype=self.dtype,
+            )(x)
+            x = self._norm(x, train)
+        return nn.relu(x + y)
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed conv with exact torch geometry (kernel 3, stride 2,
+    padding 1, output_padding 1 -> exact 2x upsampling), any `dims`.
+
+    Implemented as lhs-dilated correlation: zero-stuff the input by `strides`,
+    pad (k-1-p, k-1-p+output_padding), correlate. Equivalent to torch
+    ConvTranspose up to a static kernel flip+transpose handled by the
+    checkpoint converter. Reference use: models/augment/cva.py:20-22,
+    models/gwcnet_dca_g.py:85-91.
+    """
+
+    features: int
+    kernel: int = 3
+    strides: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    dims: int = 3
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.dims
+        in_features = x.shape[-1]
+        k = self.kernel
+        pad_lo = k - 1 - self.padding
+        pad_hi = pad_lo + self.output_padding
+        kernel_shape = (k,) * n + (in_features, self.features)
+        w = self.param("kernel", reference_conv_init, kernel_shape)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = w.astype(self.dtype)
+        if n == 3:
+            dn = ("NDHWC", "DHWIO", "NDHWC")
+        elif n == 2:
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            raise ValueError(n)
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(1,) * n,
+            padding=((pad_lo, pad_hi),) * n,
+            lhs_dilation=(self.strides,) * n,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class AvgPool3dTorch(nn.Module):
+    """AvgPool3d(kernel 3, stride 2, padding 1) with torch's
+    count_include_pad=True (divide by the full 27 window even at borders).
+    Parity: reference models/augment/cva.py:39 (`nn.AvgPool3d((3,3,3), 2, 1)`).
+    Input (B, D, H, W, C)."""
+
+    kernel: int = 3
+    strides: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel, self.strides, self.padding
+        window = (1, k, k, k, 1)
+        strides = (1, s, s, s, 1)
+        pads = ((0, 0), (p, p), (p, p), (p, p), (0, 0))
+        summed = jax.lax.reduce_window(
+            x, jnp.asarray(0, x.dtype), jax.lax.add, window, strides, pads
+        )
+        return summed / jnp.asarray(k * k * k, x.dtype)
