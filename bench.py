@@ -1,0 +1,91 @@
+"""Benchmark: DCANet eval-forward throughput at the KITTI submission shape.
+
+Mirrors the reference's measurement (my_img.py:89-111: per-image wall time on
+384x1248 pads, maxdisp 192). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline` is measured against the first TPU measurement pinned in
+BENCH_BASELINE.json (the reference repo publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+H, W = 384, 1248
+MAXDISP = 192
+WARMUP = 2
+ITERS = 10
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def main():
+    from dcanet_tpu.models import DCANet
+
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else None
+    model = DCANet(maxdisp=MAXDISP, num_cva=3, dtype=dtype)
+
+    small = jnp.zeros((1, 64, 256, 3), jnp.float32)
+    init = jax.jit(lambda k, l, r: model.init(k, l, r, train=False))
+    t_init = time.perf_counter()
+    variables = jax.block_until_ready(init(jax.random.PRNGKey(0), small, small))
+    print(f"# init: {time.perf_counter() - t_init:.1f}s", flush=True)
+
+    @jax.jit
+    def fwd(left, right):
+        return model.apply(variables, left, right, train=False).disparity
+
+    key = jax.random.PRNGKey(1)
+    left = jax.random.normal(key, (1, H, W, 3), jnp.float32)
+    right = jax.random.normal(key, (1, H, W, 3), jnp.float32)
+
+    t_c = time.perf_counter()
+    for _ in range(WARMUP):
+        fwd(left, right).block_until_ready()
+    print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(left, right)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    pairs_per_sec = 1.0 / dt
+
+    vs_baseline = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("pairs_per_sec"):
+            vs_baseline = pairs_per_sec / base["pairs_per_sec"]
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "pairs_per_sec": pairs_per_sec,
+                    "shape": [H, W],
+                    "note": "first TPU measurement (round 1); later rounds compare against this",
+                },
+                f,
+                indent=2,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"dcanet_eval_pairs_per_sec_{H}x{W}",
+                "value": round(pairs_per_sec, 4),
+                "unit": "pairs/sec/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+from dcanet_tpu.models.dcanet import (
+    DCANet,
+    DCANetEvalOutput,
+    DCANetTrainOutput,
+    GwcNetBaseline,
+)
+from dcanet_tpu.models.registry import MODELS, make_model
+
+__all__ = [
+    "DCANet",
+    "DCANetEvalOutput",
+    "DCANetTrainOutput",
+    "GwcNetBaseline",
+    "MODELS",
+    "make_model",
+]

@@ -1,0 +1,272 @@
+"""DCANet — GwcNet-style stereo matching with Disparity Context Aggregation.
+
+One parameterized module (`num_cva` in 0..4) replaces the reference's five
+copy-pasted variant files (models/gwcnet_dca{0,1,2,4}_g.py, gwcnet_dca_g.py)
+and fixes their output-signature drift with a clean, typed contract:
+
+  train -> DCANetTrainOutput(prob_volumes, disparities, class_logits)
+  eval  -> DCANetEvalOutput(disparity, class_logits)
+
+Pipeline parity (reference models/gwcnet_dca_g.py:209-282):
+  shared-weight 2D features (1/4 res) -> 40-group gwc volume + 24-ch concat
+  volume -> dres0/dres1 pre-aggregation (64->32ch 3D convs) -> chain of CVA
+  blocks (residual add after the first) -> classif head -> softmax over D ->
+  soft-argmin -> RAFT-style convex 4x upsample guided by the left image.
+
+Supervision contract, generalized from the reference family:
+  * prob_volumes (stereo-focal ladder, all softmaxed, at 1/4 res):
+      [softmax(classif0(cost0))]
+      + [softmax(up2(cva_i logits)) for i in 1..num_cva-1]
+      + [softmax(classif_i(out_i)) for i in 1..num_cva-1]
+    -> exactly [pred0, pred_dca1, pred_dca2, pred1, pred2] for num_cva=3
+       (gwcnet_dca_g.py:277-278) and [pred0] for num_cva=1
+       (gwcnet_dca1_g.py:210). The reference's dca2 train return is broken
+       (undefined names, gwcnet_dca2_g.py:232); num_cva=2 here follows the
+       same generalized pattern.
+  * disparities (smooth-L1 ladder, full res):
+      [soft-argmin of up8(last cva logits), convex-upsampled final]
+    -> [pred_dca3, pred4] for num_cva=3.
+  * full_res_supervision=True reproduces the dca4 flavor
+    (gwcnet_dca4_g.py:214-303): every classif head and every CVA logits
+    volume is trilinearly upsampled to full resolution and soft-argmin'd,
+    giving 2*num_cva+1 disparity outputs and no focal ladder.
+
+TPU-first deviations (documented, intentional):
+  * channel-last layouts; left/right run the shared feature extractor as one
+    stacked batch (one big MXU pass; the reference runs two).
+  * variants all softmax their focal-ladder volumes (the reference's dca0
+    returns raw logits where the main model returns softmaxed ones).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcanet_tpu.nn.cva import CVA
+from dcanet_tpu.nn.feature import FeatureExtractor
+from dcanet_tpu.nn.guidance import Guidance
+from dcanet_tpu.nn.layers import ConvBN, ConvBNAct, reference_conv_init
+from dcanet_tpu.nn.propagation import PropagationNet
+from dcanet_tpu.ops.cost_volume import build_concat_volume, build_gwc_volume
+from dcanet_tpu.ops.regression import disparity_regression
+from dcanet_tpu.ops.upsample import resize_trilinear
+
+Dtype = Any
+
+
+class DCANetTrainOutput(NamedTuple):
+    prob_volumes: Tuple[jnp.ndarray, ...]  # (B, D/4, H/4, W/4) softmax probs
+    disparities: Tuple[jnp.ndarray, ...]  # (B, H, W) full-res estimates
+    class_logits: Tuple[jnp.ndarray, ...]  # raw CVA logits (B, D/8, H/8, W/8)
+
+
+class DCANetEvalOutput(NamedTuple):
+    disparity: jnp.ndarray  # (B, H, W)
+    class_logits: Tuple[jnp.ndarray, ...]  # raw CVA logits at native res
+
+
+class _Classifier(nn.Module):
+    """convbn_3d+relu then 3x3x3 conv -> 1 channel of cost logits."""
+
+    channels: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = ConvBNAct(self.channels, 3, 1, 1, dims=3, dtype=self.dtype)(x, train)
+        return nn.Conv(
+            1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+            kernel_init=reference_conv_init, dtype=self.dtype,
+        )(y)[..., 0]  # (B, D, H, W)
+
+
+class DCANet(nn.Module):
+    maxdisp: int = 192
+    num_cva: int = 3
+    use_concat_volume: bool = True
+    num_groups: int = 40
+    concat_channels: int = 12
+    base_channels: int = 32
+    full_res_supervision: bool = False
+    dtype: Optional[Dtype] = None
+    # Optional sharding hook: called on every (B, D, H, W, C) volume so the
+    # disparity axis can be pinned to the mesh's `disp` axis
+    # (parallel/sharding.py: make_disp_constraint).
+    constrain_volume: Optional[Callable] = None
+
+    def _constrain(self, x):
+        return self.constrain_volume(x) if self.constrain_volume is not None else x
+
+    @nn.compact
+    def __call__(self, left, right, train: bool = False):
+        b = left.shape[0]
+        d4 = self.maxdisp // 4
+        c = self.base_channels
+
+        feats = FeatureExtractor(
+            concat_feature=self.use_concat_volume,
+            concat_feature_channel=self.concat_channels,
+            dtype=self.dtype,
+            name="feature_extraction",
+        )(jnp.concatenate([left, right], axis=0), train)
+        guidance = Guidance(64, dtype=self.dtype, name="guidance")(left, train)["g"]
+
+        gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
+        volume = build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups)
+        if self.use_concat_volume:
+            cat_l, cat_r = feats["concat_feature"][:b], feats["concat_feature"][b:]
+            volume = jnp.concatenate(
+                [volume, build_concat_volume(cat_l, cat_r, d4)], axis=-1
+            )
+        volume = self._constrain(volume)
+
+        # pre-aggregation: dres0 (2x convbn3d+relu), dres1 (convbn3d+relu,
+        # convbn3d) + residual (gwcnet_dca_g.py:141-148, 224-225)
+        cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)
+        cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
+        y = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
+        y = ConvBN(c, 3, 1, 1, dims=3, dtype=self.dtype)(y, train)
+        cost0 = self._constrain(y + cost0)
+
+        # CVA chain; residual add only after the first block
+        # (gwcnet_dca_g.py:228-232)
+        outs = [cost0]
+        cva_logits = []
+        out = cost0
+        for i in range(1, self.num_cva + 1):
+            logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(out, train)
+            out = self._constrain(cost0 + agg if i == 1 else agg)
+            cva_logits.append(logits)
+            outs.append(out)
+
+        final_cost = _Classifier(c, dtype=self.dtype, name=f"classif{self.num_cva}")(
+            out, train
+        )
+        final_prob = nn.softmax(final_cost, axis=1)
+        pred_coarse = disparity_regression(final_prob, d4)
+        disparity = PropagationNet(64, scale=4, dtype=self.dtype, name="prop")(
+            guidance, pred_coarse, train
+        )
+
+        if not train:
+            return DCANetEvalOutput(
+                disparity=disparity, class_logits=tuple(cva_logits)
+            )
+
+        if self.full_res_supervision:
+            # dca4 flavor: everything to full res + soft-argmin.
+            disparities = []
+            for logits in cva_logits:
+                p = nn.softmax(resize_trilinear(logits, 8), axis=1)
+                disparities.append(disparity_regression(p, self.maxdisp))
+            for i in range(self.num_cva):
+                cost_i = _Classifier(c, dtype=self.dtype, name=f"classif{i}")(
+                    outs[i], train
+                )
+                p = nn.softmax(resize_trilinear(cost_i, 4), axis=1)
+                disparities.append(disparity_regression(p, self.maxdisp))
+            disparities.append(disparity)
+            return DCANetTrainOutput(
+                prob_volumes=(),
+                disparities=tuple(disparities),
+                class_logits=tuple(cva_logits),
+            )
+
+        if self.num_cva == 0:
+            # classif0 IS the final head (gwcnet_dca0_g.py:172-190).
+            return DCANetTrainOutput(
+                prob_volumes=(final_prob,),
+                disparities=(disparity,),
+                class_logits=(),
+            )
+
+        prob_volumes = [
+            nn.softmax(
+                _Classifier(c, dtype=self.dtype, name="classif0")(cost0, train),
+                axis=1,
+            )
+        ]
+        for logits in cva_logits[: max(self.num_cva - 1, 0)]:
+            prob_volumes.append(nn.softmax(resize_trilinear(logits, 2), axis=1))
+        for i in range(1, self.num_cva):
+            cost_i = _Classifier(c, dtype=self.dtype, name=f"classif{i}")(
+                outs[i], train
+            )
+            prob_volumes.append(nn.softmax(cost_i, axis=1))
+
+        disparities = []
+        if self.num_cva > 0:
+            dca_full = nn.softmax(resize_trilinear(cva_logits[-1], 8), axis=1)
+            disparities.append(disparity_regression(dca_full, self.maxdisp))
+        disparities.append(disparity)
+
+        return DCANetTrainOutput(
+            prob_volumes=tuple(prob_volumes),
+            disparities=tuple(disparities),
+            class_logits=tuple(cva_logits),
+        )
+
+
+class GwcNetBaseline(nn.Module):
+    """Plain GwcNet (upstream baseline; reference models/gwcnet.py:107-249):
+    3 stacked 3D hourglass aggregators, 4 classif heads, full-res trilinear
+    cost upsampling, 4-output deep supervision (all disparities, smooth-L1)."""
+
+    maxdisp: int = 192
+    use_concat_volume: bool = True
+    num_groups: int = 40
+    concat_channels: int = 12
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, left, right, train: bool = False):
+        from dcanet_tpu.nn.aggregation import Hourglass3D
+
+        b = left.shape[0]
+        d4 = self.maxdisp // 4
+        c = 32
+
+        feats = FeatureExtractor(
+            concat_feature=self.use_concat_volume,
+            concat_feature_channel=self.concat_channels,
+            dtype=self.dtype,
+            name="feature_extraction",
+        )(jnp.concatenate([left, right], axis=0), train)
+
+        gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
+        volume = build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups)
+        if self.use_concat_volume:
+            cat_l, cat_r = feats["concat_feature"][:b], feats["concat_feature"][b:]
+            volume = jnp.concatenate(
+                [volume, build_concat_volume(cat_l, cat_r, d4)], axis=-1
+            )
+
+        cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)
+        cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
+        y = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
+        y = ConvBN(c, 3, 1, 1, dims=3, dtype=self.dtype)(y, train)
+        cost0 = y + cost0
+
+        out1 = Hourglass3D(c, dtype=self.dtype, name="dres2")(cost0, train)
+        out2 = Hourglass3D(c, dtype=self.dtype, name="dres3")(out1, train)
+        out3 = Hourglass3D(c, dtype=self.dtype, name="dres4")(out2, train)
+
+        def head(name, x):
+            cost = _Classifier(c, dtype=self.dtype, name=name)(x, train)
+            p = nn.softmax(resize_trilinear(cost, 4), axis=1)
+            return disparity_regression(p, self.maxdisp)
+
+        pred3 = head("classif3", out3)
+        if not train:
+            return DCANetEvalOutput(disparity=pred3, class_logits=())
+        pred0 = head("classif0", cost0)
+        pred1 = head("classif1", out1)
+        pred2 = head("classif2", out2)
+        return DCANetTrainOutput(
+            prob_volumes=(),
+            disparities=(pred0, pred1, pred2, pred3),
+            class_logits=(),
+        )

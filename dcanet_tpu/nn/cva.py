@@ -1,0 +1,91 @@
+"""The CVA block (the paper's DCA module) and SemanticLevelContext.
+
+Parity:
+  - SemanticLevelContext: reference models/augment/semantic_level.py:15-128 —
+    dense `slc_pool` (see ops/slc.py) followed by cross-attention with
+    query = cost volume, key/value = pooled-context + cost volume.
+  - CVA: reference models/augment/cva.py:33-71 — AvgPool3d(3,s2,p1)+convbn+relu
+    downsample, 3D-conv `classify` head producing the 1-channel disparity-class
+    logits, SLC injection, trilinear 2x upsample, 1x1x1 `fuse` of
+    concat(augmented, input), and a shallow `Multi_Aggregation` hourglass.
+
+Cost volumes are (B, D, H, W, C); classification logits (B, D, H, W).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dcanet_tpu.nn.aggregation import MultiAggregation
+from dcanet_tpu.nn.attention import DisparityAttentionBlock
+from dcanet_tpu.nn.layers import AvgPool3dTorch, ConvBN, ConvBNAct, reference_conv_init
+from dcanet_tpu.ops.slc import slc_pool
+from dcanet_tpu.ops.upsample import resize_trilinear
+
+Dtype = Any
+
+
+class SemanticLevelContext(nn.Module):
+    feats_channels: int = 32
+    transform_channels: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, logits, train: bool):
+        """x: (B, D, H, W, C) cost volume; logits: (B, D, H, W) class logits."""
+        feats_sl = slc_pool(x, logits)
+        return DisparityAttentionBlock(
+            transform_channels=self.transform_channels,
+            out_channels=self.feats_channels,
+            key_query_num_convs=2,
+            value_out_num_convs=1,
+            dtype=self.dtype,
+            name="cross_attention",
+        )(x, feats_sl + x, train)
+
+
+class CVA(nn.Module):
+    channels: int = 32
+    downsample: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, cost_volume, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (class_logits, aggregated_cost).
+
+        class_logits: (B, D', H', W') raw disparity-classification logits at
+        the (possibly 2x-downsampled) resolution — callers upsample + softmax
+        for supervision, matching the reference's `prob_volume` output.
+        aggregated_cost: (B, D, H, W, C) at the input resolution.
+        """
+        c = self.channels
+        if self.downsample:
+            cost_down = AvgPool3dTorch()(cost_volume)
+            cost_down = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype,
+                                  name="down_conv")(cost_down, train)
+        else:
+            cost_down = cost_volume
+
+        # classify head: convbn_3d+relu then 3x3x3 conv -> 1 channel
+        y = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype,
+                      name="classify0")(cost_down, train)
+        logits = nn.Conv(
+            1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+            kernel_init=reference_conv_init, dtype=self.dtype, name="classify1",
+        )(y)[..., 0]  # (B, D', H', W')
+
+        augmented = SemanticLevelContext(
+            feats_channels=c, transform_channels=c, dtype=self.dtype,
+            name="slc",
+        )(cost_down, logits, train)
+
+        if self.downsample:
+            augmented = resize_trilinear(augmented, 2)
+
+        fused = jnp.concatenate([augmented, cost_volume], axis=-1)
+        fused = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="fuse")(fused, train)
+        aggregated = MultiAggregation(c, dtype=self.dtype, name="cost_agg")(fused, train)
+        return logits, aggregated

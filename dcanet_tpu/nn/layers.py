@@ -302,7 +302,9 @@ class AvgPool3dTorch(nn.Module):
         window = (1, k, k, k, 1)
         strides = (1, s, s, s, 1)
         pads = ((0, 0), (p, p), (p, p), (p, p), (0, 0))
+        # NB: python-scalar init value keeps this the differentiable
+        # reduce_window_sum form (a traced-array init breaks the pattern).
         summed = jax.lax.reduce_window(
-            x, jnp.asarray(0, x.dtype), jax.lax.add, window, strides, pads
+            x, 0.0, jax.lax.add, window, strides, pads
         )
-        return summed / jnp.asarray(k * k * k, x.dtype)
+        return (summed / (k * k * k)).astype(x.dtype)

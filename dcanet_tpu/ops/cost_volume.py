@@ -53,6 +53,8 @@ def build_gwc_volume(
     for d in range(maxdisp):
         if d == 0:
             corr = groupwise_correlation(left, right, num_groups)
+        elif d >= w:  # fully occluded plane (narrow inputs)
+            corr = jnp.zeros((b, h, w, num_groups), left.dtype)
         else:
             corr = groupwise_correlation(left[:, :, d:, :], right[:, :, : w - d, :], num_groups)
             corr = jnp.pad(corr, ((0, 0), (0, 0), (d, 0), (0, 0)))
@@ -76,6 +78,8 @@ def build_concat_volume(
     for d in range(maxdisp):
         if d == 0:
             plane = jnp.concatenate([left, right], axis=-1)
+        elif d >= w:  # fully occluded plane (narrow inputs)
+            plane = jnp.zeros((b, h, w, 2 * c), left.dtype)
         else:
             plane = jnp.concatenate(
                 [left[:, :, d:, :], right[:, :, : w - d, :]], axis=-1

@@ -1,0 +1,90 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh (SURVEY §4 (d)).
+
+Covers: data-parallel train step over a (data,) mesh matches the single-device
+result; disp-axis sharded eval matches unsharded; the driver-facing
+dryrun_multichip entry runs.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dcanet_tpu.models import DCANet
+from dcanet_tpu.parallel import make_disp_constraint, make_mesh, replicate, shard_batch
+from dcanet_tpu.train.loop import LossConfig, train_step
+from dcanet_tpu.train.state import create_train_state
+
+MAXDISP = 32
+H, W = 32, 64
+
+
+def _batch(key, b):
+    kl, kr, kd = jax.random.split(key, 3)
+    return {
+        "left": jax.random.normal(kl, (b, H, W, 3), jnp.float32),
+        "right": jax.random.normal(kr, (b, H, W, 3), jnp.float32),
+        "disparity": jax.random.uniform(kd, (b, H, W), jnp.float32, 1.0, MAXDISP - 2.0),
+    }
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.slow
+def test_data_parallel_matches_single_device():
+    model = DCANet(maxdisp=MAXDISP, num_cva=1)
+    key = jax.random.PRNGKey(0)
+    batch = _batch(key, 4)
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+
+    # single-device result
+    s1, m1 = train_step(state, batch, cfg)
+
+    # 4-way data-parallel result
+    mesh = make_mesh(n_data=4, n_disp=1)
+    state_r = replicate(state, mesh)
+    batch_r = shard_batch(batch, mesh)
+    s2, m2 = train_step(state_r, batch_r, cfg)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-4)
+    p1 = jax.tree.leaves(s1.params)[0]
+    p2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_disp_sharded_eval_matches_unsharded():
+    key = jax.random.PRNGKey(1)
+    batch = _batch(key, 2)
+    base = DCANet(maxdisp=MAXDISP, num_cva=1)
+    variables = base.init(key, batch["left"], batch["right"], train=False)
+
+    out_ref = base.apply(variables, batch["left"], batch["right"], train=False)
+
+    mesh = make_mesh(n_data=2, n_disp=2)
+    sharded = DCANet(
+        maxdisp=MAXDISP, num_cva=1, constrain_volume=make_disp_constraint(mesh)
+    )
+    with jax.sharding.use_mesh(mesh):
+        out_sh = jax.jit(
+            lambda v, l, r: sharded.apply(v, l, r, train=False).disparity
+        )(variables, batch["left"], batch["right"])
+    np.testing.assert_allclose(
+        np.asarray(out_ref.disparity), np.asarray(out_sh), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

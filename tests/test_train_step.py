@@ -1,0 +1,78 @@
+"""Train-step fixture on random tensors: loss finite + decreasing, grads
+flow, BN stats update (SURVEY §4 test strategy, layer (c))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dcanet_tpu.models import DCANet
+from dcanet_tpu.train.loop import LossConfig, eval_step, train_step
+from dcanet_tpu.train.state import create_train_state
+
+MAXDISP = 32
+B, H, W = 2, 32, 64
+
+
+def _batch(key):
+    kl, kr, kd = jax.random.split(key, 3)
+    return {
+        "left": jax.random.normal(kl, (B, H, W, 3), jnp.float32),
+        "right": jax.random.normal(kr, (B, H, W, 3), jnp.float32),
+        "disparity": jax.random.uniform(kd, (B, H, W), jnp.float32, 1.0, MAXDISP - 2.0),
+    }
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss():
+    model = DCANet(maxdisp=MAXDISP, num_cva=1)
+    key = jax.random.PRNGKey(0)
+    batch = _batch(key)
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+
+    losses = []
+    for _ in range(8):
+        state, metrics = train_step(state, batch, cfg)
+        losses.append(float(metrics["total"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+
+    em = eval_step(state, batch, cfg)
+    assert np.isfinite(float(em["epe"]))
+
+
+@pytest.mark.slow
+def test_batch_stats_update():
+    model = DCANet(maxdisp=MAXDISP, num_cva=0)
+    key = jax.random.PRNGKey(1)
+    batch = _batch(key)
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    cfg = LossConfig(max_disp=MAXDISP, preset="smooth_l1")
+    state, _ = train_step(state, batch, cfg)
+    after = jax.tree.leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.slow
+def test_kitti_preset_sparse_gt():
+    model = DCANet(maxdisp=MAXDISP, num_cva=2)
+    key = jax.random.PRNGKey(2)
+    batch = _batch(key)
+    # sparse gt: zero out most pixels like KITTI
+    sparse = np.array(batch["disparity"])  # writable copy
+    sparse[:, ::2] = 0.0
+    batch["disparity"] = jnp.asarray(sparse)
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    cfg = LossConfig(max_disp=MAXDISP, preset="kitti", sparse=True)
+    state, metrics = train_step(state, batch, cfg)
+    assert np.isfinite(float(metrics["total"]))
