@@ -4,7 +4,11 @@ Mirrors the reference's measurement (my_img.py:89-111: per-image wall time on
 384x1248 pads, maxdisp 192). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-`vs_baseline` is measured against the first TPU measurement pinned in
+Timing notes for the axon TPU tunnel: `block_until_ready` does not actually
+block, so each phase dispatches N dependent iterations and synchronizes ONCE
+via a host fetch of a scalar reduction of the final output.
+
+`vs_baseline` compares against the first TPU measurement pinned in
 BENCH_BASELINE.json (the reference repo publishes no numbers — BASELINE.md).
 """
 
@@ -17,45 +21,56 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeated bench/driver runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_dcanet")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 H, W = 384, 1248
 MAXDISP = 192
-WARMUP = 2
-ITERS = 10
-BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+)
 
 
 def main():
     from dcanet_tpu.models import DCANet
 
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else None
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16" else None
     model = DCANet(maxdisp=MAXDISP, num_cva=3, dtype=dtype)
 
     small = jnp.zeros((1, 64, 256, 3), jnp.float32)
     init = jax.jit(lambda k, l, r: model.init(k, l, r, train=False))
-    t_init = time.perf_counter()
-    variables = jax.block_until_ready(init(jax.random.PRNGKey(0), small, small))
-    print(f"# init: {time.perf_counter() - t_init:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    variables = init(jax.random.PRNGKey(0), small, small)
+    jax.tree.map(lambda x: x.block_until_ready(), variables)
+    print(f"# init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     @jax.jit
-    def fwd(left, right):
-        return model.apply(variables, left, right, train=False).disparity
+    def fwd(left, right, salt):
+        # `salt` chains iterations so dispatched steps are data-dependent
+        out = model.apply(variables, left + salt, right, train=False)
+        return out.disparity
 
     key = jax.random.PRNGKey(1)
     left = jax.random.normal(key, (1, H, W, 3), jnp.float32)
     right = jax.random.normal(key, (1, H, W, 3), jnp.float32)
 
-    t_c = time.perf_counter()
-    for _ in range(WARMUP):
-        fwd(left, right).block_until_ready()
-    print(f"# compile+warmup: {time.perf_counter() - t_c:.1f}s", flush=True)
+    # compile + warmup with a real sync (host fetch)
+    t0 = time.perf_counter()
+    d = fwd(left, right, 0.0)
+    _ = float(d.mean())
+    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
+    salt = jnp.asarray(0.0)
     for _ in range(ITERS):
-        out = fwd(left, right)
-    out.block_until_ready()
+        d = fwd(left, right, salt)
+        salt = d[0, 0, 0] * 1e-9  # data dependency: forces serial execution
+    _ = float(salt)  # single sync for the whole chain
     dt = (time.perf_counter() - t0) / ITERS
-
     pairs_per_sec = 1.0 / dt
+    print(f"# per-iter: {dt*1e3:.1f} ms", flush=True)
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):

@@ -1,0 +1,274 @@
+"""One CLI replacing the reference's per-workload scripts:
+
+  python -m dcanet_tpu.cli train --preset sceneflow --data-root ...
+  python -m dcanet_tpu.cli eval  --preset kitti --data-root ... --ckpt ...
+  python -m dcanet_tpu.cli infer --left a.png --right b.png --out disp.png
+  python -m dcanet_tpu.cli export --ckpt ... --out weights/
+
+train  ~ main_dca.py / train_kitti.py / train_eth3d.py (+ the uncommitted
+         train_middlebury.py) via --preset.
+eval   ~ the per-epoch `mytest` loops (EPE/D1/>1,2,3px + DCA class mPA/mIoU).
+infer  ~ my_img.py benchmark-submission inference (uint16 PNG x256, timing).
+export ~ weights-only checkpoint for deployment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build_dataset(cfg, training: bool):
+    from dcanet_tpu.data import (
+        StereoDataset,
+        scan_eth3d,
+        scan_kitti2012,
+        scan_kitti2015,
+        scan_middlebury,
+        scan_sceneflow,
+    )
+
+    if cfg.dataset == "sceneflow":
+        train, test = scan_sceneflow(cfg.data_root)
+        return StereoDataset(train if training else test, training, "sceneflow")
+    if cfg.dataset == "kitti2012":
+        samples = scan_kitti2012(cfg.data_root)
+    elif cfg.dataset == "kitti2015":
+        samples = scan_kitti2015(cfg.data_root)
+    elif cfg.dataset == "kitti_mix":
+        samples = scan_kitti2012(cfg.data_root) + (
+            scan_kitti2015(cfg.data_root2) if cfg.data_root2 else []
+        )
+    elif cfg.dataset == "eth3d":
+        samples = scan_eth3d(cfg.data_root)
+        return StereoDataset(samples, training, "eth3d")
+    elif cfg.dataset == "middlebury":
+        samples = scan_middlebury(cfg.data_root)
+        return StereoDataset(samples, training, "middlebury", half_res=cfg.half_res)
+    else:
+        raise ValueError(cfg.dataset)
+    return StereoDataset(samples, training, "kitti")
+
+
+def _make_state(cfg, steps_per_epoch: int):
+    import optax
+
+    from dcanet_tpu.models import make_model
+    from dcanet_tpu.train.schedule import (
+        epoch_decay_schedule,
+        kitti_finetune_schedule,
+        make_adam,
+    )
+    from dcanet_tpu.train.state import create_train_state
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+    model = make_model(cfg.model, maxdisp=cfg.maxdisp, dtype=dtype)
+    if cfg.lr_spec:
+        sched = epoch_decay_schedule(cfg.base_lr, cfg.lr_spec, steps_per_epoch)
+    else:
+        sched = kitti_finetune_schedule(steps_per_epoch)
+    tx = make_adam(sched)
+    sample = jnp.zeros((1, 64, 4 * cfg.maxdisp, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample, sample, tx)
+    return model, state
+
+
+def cmd_train(cfg):
+    from dcanet_tpu.data.loader import Loader
+    from dcanet_tpu.train.checkpoint import CheckpointManager
+    from dcanet_tpu.train.loop import LossConfig, eval_step, train_step
+    from dcanet_tpu.utils import AverageMeterDict, MetricLogger
+
+    train_ds = _build_dataset(cfg, training=True)
+    print(f"train samples: {len(train_ds)}")
+    loader = Loader(
+        train_ds, cfg.batch_size, seed=cfg.seed, num_workers=cfg.num_workers
+    )
+    steps_per_epoch = max(len(loader), 1)
+    model, state = _make_state(cfg, steps_per_epoch)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
+    print(f"model params: {n_params / 1e6:.2f}M")
+
+    ckpt = CheckpointManager(cfg.logdir + "/ckpt")
+    if cfg.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    loss_cfg = LossConfig(
+        max_disp=cfg.maxdisp,
+        focal_coefficient=cfg.focal_coefficient,
+        sparse=cfg.sparse_gt,
+        preset=cfg.loss_preset,
+    )
+    logger = MetricLogger(cfg.logdir)
+    meters = AverageMeterDict()
+
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, cfg.epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        for bi, batch in enumerate(loader):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = train_step(state, batch, loss_cfg)
+            meters.update({k: float(v) for k, v in metrics.items()})
+            if (bi + 1) % cfg.print_freq == 0:
+                m = meters.mean()
+                rate = cfg.batch_size * (bi + 1) / (time.time() - t0)
+                print(
+                    f"epoch {epoch} step {bi+1}/{steps_per_epoch} "
+                    f"loss {m['total']:.3f} epe {m['epe']:.3f} "
+                    f"({rate:.2f} pairs/s)"
+                )
+                logger.log(int(state.step), m, prefix="train/")
+                meters.reset()
+        if epoch >= cfg.save_after_epoch and (epoch + 1) % cfg.save_every_epochs == 0:
+            ckpt.save(state)
+    ckpt.wait()
+    print("training done")
+
+
+def cmd_eval(cfg, ckpt_path=None):
+    from dcanet_tpu.data.loader import pad_to_multiple, unpad
+    from dcanet_tpu.train.checkpoint import CheckpointManager
+    from dcanet_tpu.train.metrics import (
+        disparity_class_confusion,
+        eval_metrics,
+        segmentation_scores,
+    )
+    from dcanet_tpu.utils import AverageMeterDict
+
+    ds = _build_dataset(cfg, training=False)
+    print(f"eval samples: {len(ds)}")
+    model, state = _make_state(cfg, steps_per_epoch=1)
+    ckpt = CheckpointManager(ckpt_path or (cfg.logdir + "/ckpt"))
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"evaluating step {int(state.step)}")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False))
+
+    meters = AverageMeterDict()
+    confusion = None
+    for i in range(len(ds)):
+        item = ds[i]
+        left, pads = pad_to_multiple(item["left"], 16)
+        right, _ = pad_to_multiple(item["right"], 16)
+        out = fwd(left[None], right[None])
+        disp = unpad(np.asarray(out.disparity[0]), pads)
+        gt = item["disparity"]
+        mask = (gt > 0) & (gt < cfg.maxdisp)
+        m = eval_metrics(jnp.asarray(disp), jnp.asarray(gt), jnp.asarray(mask))
+        meters.update({k: float(v) for k, v in m.items()})
+        if out.class_logits:
+            lg = out.class_logits[-1]
+            num_classes = lg.shape[1]
+            gt_pad, _ = pad_to_multiple(gt, 16)
+            c = disparity_class_confusion(lg, jnp.asarray(gt_pad[None]), num_classes)
+            confusion = c if confusion is None else confusion + c
+    results = meters.mean()
+    if confusion is not None:
+        results.update(
+            {k: float(v) for k, v in segmentation_scores(confusion).items()}
+        )
+    print({k: round(v, 4) for k, v in results.items()})
+    return results
+
+
+def cmd_infer(cfg, left_path, right_path, out_path):
+    from dcanet_tpu.data.io import normalize_imagenet, read_image, write_kitti_submission_png
+    from dcanet_tpu.data.loader import pad_to_multiple, unpad
+    from dcanet_tpu.train.checkpoint import CheckpointManager
+
+    model, state = _make_state(cfg, steps_per_epoch=1)
+    ckpt = CheckpointManager(cfg.logdir + "/ckpt")
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False).disparity)
+
+    left = normalize_imagenet(read_image(left_path))
+    right = normalize_imagenet(read_image(right_path))
+    left_p, pads = pad_to_multiple(left, 16)
+    right_p, _ = pad_to_multiple(right, 16)
+    t0 = time.time()
+    disp = fwd(left_p[None].astype(np.float32), right_p[None].astype(np.float32))
+    disp = np.asarray(disp)[0]
+    print(f"inference time: {time.time() - t0:.3f}s (incl. compile on first call)")
+    disp = unpad(disp, pads)
+    write_kitti_submission_png(out_path, disp)
+    print(f"wrote {out_path}")
+
+
+def cmd_export(cfg, out_path):
+    from dcanet_tpu.train.checkpoint import CheckpointManager, save_params_only
+
+    model, state = _make_state(cfg, steps_per_epoch=1)
+    ckpt = CheckpointManager(cfg.logdir + "/ckpt")
+    assert ckpt.latest_step() is not None, "no checkpoint to export"
+    state = ckpt.restore(state)
+    save_params_only(out_path, state.params, state.batch_stats)
+    print(f"exported weights to {out_path}")
+
+
+def main(argv=None):
+    from dcanet_tpu.config import PRESETS, preset
+
+    p = argparse.ArgumentParser(prog="dcanet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    common = dict(
+        preset=lambda sp: sp.add_argument(
+            "--preset", default="sceneflow", choices=sorted(PRESETS)
+        ),
+    )
+
+    def add_common(sp):
+        common["preset"](sp)
+        sp.add_argument("--data-root", default=None)
+        sp.add_argument("--data-root2", default=None)
+        sp.add_argument("--model", default=None)
+        sp.add_argument("--maxdisp", type=int, default=None)
+        sp.add_argument("--batch-size", type=int, default=None)
+        sp.add_argument("--epochs", type=int, default=None)
+        sp.add_argument("--logdir", default=None)
+        sp.add_argument("--dtype", default=None)
+        sp.add_argument("--resume", action="store_true", default=None)
+
+    sp_train = sub.add_parser("train")
+    add_common(sp_train)
+    sp_eval = sub.add_parser("eval")
+    add_common(sp_eval)
+    sp_eval.add_argument("--ckpt", default=None)
+    sp_infer = sub.add_parser("infer")
+    add_common(sp_infer)
+    sp_infer.add_argument("--left", required=True)
+    sp_infer.add_argument("--right", required=True)
+    sp_infer.add_argument("--out", required=True)
+    sp_export = sub.add_parser("export")
+    add_common(sp_export)
+    sp_export.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    overrides = {
+        k.replace("-", "_"): v
+        for k, v in vars(args).items()
+        if k not in ("cmd", "preset", "ckpt", "left", "right", "out") and v is not None
+    }
+    cfg = preset(args.preset, **overrides)
+
+    if args.cmd == "train":
+        cmd_train(cfg)
+    elif args.cmd == "eval":
+        cmd_eval(cfg, args.ckpt)
+    elif args.cmd == "infer":
+        cmd_infer(cfg, args.left, args.right, args.out)
+    elif args.cmd == "export":
+        cmd_export(cfg, args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,20 @@ from dcanet_tpu.ops.upsample import resize_trilinear
 Dtype = Any
 
 
+def _gwc_volume(left, right, maxdisp, num_groups, use_pallas):
+    """Dispatch to the Pallas kernel on TPU (one fused kernel instead of a
+    D-stage slice/pad/stack graph); XLA formulation elsewhere/CPU."""
+    import jax
+
+    from dcanet_tpu.kernels.gwc import build_gwc_volume_pallas, supports_pallas
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas and supports_pallas(maxdisp):
+        return build_gwc_volume_pallas(left, right, maxdisp, num_groups)
+    return build_gwc_volume(left, right, maxdisp, num_groups)
+
+
 class DCANetTrainOutput(NamedTuple):
     prob_volumes: Tuple[jnp.ndarray, ...]  # (B, D/4, H/4, W/4) softmax probs
     disparities: Tuple[jnp.ndarray, ...]  # (B, H, W) full-res estimates
@@ -96,6 +110,8 @@ class DCANet(nn.Module):
     # disparity axis can be pinned to the mesh's `disp` axis
     # (parallel/sharding.py: make_disp_constraint).
     constrain_volume: Optional[Callable] = None
+    # None = auto (Pallas gwc kernel on TPU, XLA op on CPU)
+    use_pallas: Optional[bool] = None
 
     def _constrain(self, x):
         return self.constrain_volume(x) if self.constrain_volume is not None else x
@@ -115,7 +131,7 @@ class DCANet(nn.Module):
         guidance = Guidance(64, dtype=self.dtype, name="guidance")(left, train)["g"]
 
         gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
-        volume = build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups)
+        volume = _gwc_volume(gwc_l, gwc_r, d4, self.num_groups, self.use_pallas)
         if self.use_concat_volume:
             cat_l, cat_r = feats["concat_feature"][:b], feats["concat_feature"][b:]
             volume = jnp.concatenate(
