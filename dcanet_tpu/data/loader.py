@@ -130,18 +130,23 @@ class Loader:
         nb = len(indices) // self.batch_size if self.drop_last else -(
             -len(indices) // self.batch_size
         )
-        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            # pipeline: submit decode jobs one batch ahead
+        # Separate pools: `batch_pool` (1 thread) assembles the next batch
+        # while the caller consumes the current one; `decode_pool` parallelizes
+        # per-sample decode. (A single shared pool deadlocks: fetch tasks
+        # would starve their own inner map.)
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as decode_pool, \
+                cf.ThreadPoolExecutor(max_workers=1) as batch_pool:
+
             def fetch(bi):
                 batch_idx = indices[bi * self.batch_size : (bi + 1) * self.batch_size]
-                samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                samples = list(decode_pool.map(self.dataset.__getitem__, batch_idx))
                 return {
                     k: np.stack([s[k] for s in samples]) for k in samples[0]
                 }
 
             pending = None
             for bi in range(nb):
-                fut = pool.submit(fetch, bi)
+                fut = batch_pool.submit(fetch, bi)
                 if pending is not None:
                     yield pending.result()
                 pending = fut

@@ -74,16 +74,16 @@ def build_concat_volume(
     Parity: reference models/submodule.py:134-145.
     """
     b, h, w, c = left.shape
-    planes = []
-    for d in range(maxdisp):
-        if d == 0:
-            plane = jnp.concatenate([left, right], axis=-1)
-        elif d >= w:  # fully occluded plane (narrow inputs)
-            plane = jnp.zeros((b, h, w, 2 * c), left.dtype)
-        else:
-            plane = jnp.concatenate(
-                [left[:, :, d:, :], right[:, :, : w - d, :]], axis=-1
-            )
-            plane = jnp.pad(plane, ((0, 0), (0, 0), (d, 0), (0, 0)))
-        planes.append(plane)
-    return jnp.stack(planes, axis=1)
+    # Vectorized (single gather + broadcast) instead of a D-stage slice/pad
+    # loop: keeps the HLO tiny and lets XLA fuse the masking. Fine for the
+    # 12-channel concat features (the (B,D,H,W,C) intermediate is small); the
+    # 320-channel gwc path keeps its slice loop / Pallas kernel instead.
+    d_idx = jnp.arange(maxdisp)[:, None]  # (D, 1)
+    w_idx = jnp.arange(w)[None, :]  # (1, W)
+    mask = (w_idx >= d_idx).astype(left.dtype)[None, :, None, :, None]  # (1,D,1,W,1)
+    src = jnp.clip(w_idx - d_idx, 0, w - 1).reshape(-1)  # (D*W,)
+
+    right_sh = jnp.take(right, src, axis=2)  # (B, H, D*W, C)
+    right_sh = right_sh.reshape(b, h, maxdisp, w, c).transpose(0, 2, 1, 3, 4)
+    left_b = jnp.broadcast_to(left[:, None], (b, maxdisp, h, w, c))
+    return jnp.concatenate([left_b * mask, right_sh * mask], axis=-1)

@@ -52,12 +52,13 @@ def slc_pool(x: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
     onehot = jax.nn.one_hot(a, d, dtype=x.dtype)  # (B, H, W, D)
 
     # Per-class max of s (for softmax stability parity with torch.F.softmax
-    # over the masked subset). Empty classes get a large-negative sentinel
-    # (finite: 0 * -inf in the one-hot contraction would poison pix_max with
-    # NaN); they are never gathered back, since each pixel's own class is
-    # non-empty.
-    neg_big = jnp.asarray(-1e30, dtype=s.dtype)
-    masked_s = jnp.where(onehot > 0, s[..., None], neg_big)  # (B, H, W, D)
+    # over the masked subset). Sentinel for empty classes is 0.0: s is a
+    # softmax maximum so s >= 1/D > 0 for every pixel, hence the masked max
+    # over a NON-empty class is unaffected, and empty classes are never
+    # gathered back. (A -inf sentinel poisons the one-hot contraction with
+    # 0 * inf = NaN; a -1e30 sentinel overflows to inf under XLA fusion that
+    # factors exp(s - pix_max) — observed on the CPU backend.)
+    masked_s = jnp.where(onehot > 0, s[..., None], 0.0)  # (B, H, W, D)
     class_max = jnp.max(masked_s, axis=(1, 2))  # (B, D)
     pix_max = jnp.einsum("bhwd,bd->bhw", onehot, class_max)
 

@@ -26,9 +26,13 @@ from dcanet_tpu.parallel.mesh import DATA_AXIS, DISP_AXIS
 def make_disp_constraint(mesh: Mesh) -> Callable:
     """Returns f(volume) pinning (B, D, H, W, C) to (data, disp, ...)."""
 
+    n_disp = mesh.shape[DISP_AXIS]
+
     def constrain(x):
-        if x.ndim >= 2:
-            spec = P(DATA_AXIS, DISP_AXIS, *([None] * (x.ndim - 2)))
+        # Pin only the D axis; the batch placement propagates from the input
+        # sharding (constraining it here would break B=1 init traces).
+        if x.ndim >= 2 and x.shape[1] % n_disp == 0:
+            spec = P(None, DISP_AXIS, *([None] * (x.ndim - 2)))
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
         return x
 

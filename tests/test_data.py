@@ -46,15 +46,18 @@ def test_kitti_png_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back, disp, atol=1 / 256.0)
 
 
-def test_adjust_contrast_matches_torchvision(rng):
-    import torch
-    import torchvision.transforms.functional as TF
-
-    img = (rng.random((8, 10, 3)) * 255).astype(np.float32)
-    got = adjust_contrast(img, 1.3)
-    t = torch.from_numpy(img.transpose(2, 0, 1)) / 255.0
-    want = TF.adjust_contrast(t, 1.3).numpy().transpose(1, 2, 0) * 255.0
-    np.testing.assert_allclose(got, want, atol=0.7)
+def test_adjust_contrast_properties(rng):
+    """torchvision semantics: blend towards the grayscale mean
+    (torchvision not installed here; verify the defining properties)."""
+    img = (rng.random((8, 10, 3)) * 200 + 20).astype(np.float32)
+    np.testing.assert_allclose(adjust_contrast(img, 1.0), img, rtol=1e-6)
+    gray_mean = (
+        img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    ).mean()
+    np.testing.assert_allclose(adjust_contrast(img, 0.0), gray_mean, rtol=1e-5)
+    # linear in factor between the two endpoints
+    got = adjust_contrast(img, 0.5)
+    np.testing.assert_allclose(got, 0.5 * img + 0.5 * gray_mean, rtol=1e-5)
 
 
 def test_occlusion_patch_fills_mean(rng):
@@ -65,7 +68,8 @@ def test_occlusion_patch_fills_mean(rng):
     # the filled region equals the per-channel image mean
     diff = np.any(out != img, axis=-1)
     filled = out[diff]
-    np.testing.assert_allclose(filled, img.mean(axis=(0, 1)), rtol=1e-5)
+    want = np.broadcast_to(img.mean(axis=(0, 1)), filled.shape)
+    np.testing.assert_allclose(filled, want, rtol=1e-5)
 
 
 def _make_kitti_tree(tmp_path, n=4):

