@@ -67,6 +67,19 @@ def model_loss(
     return total
 
 
+def smoothness_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware first-order disparity smoothness (reference util.py:76-86):
+    |dx disp| * exp(-|dx img|) + |dy disp| * exp(-|dy img|), averaged.
+
+    disp: (B, H, W); img: (B, H, W, 3).
+    """
+    dx_d = jnp.abs(disp[:, :, 1:] - disp[:, :, :-1])
+    dy_d = jnp.abs(disp[:, 1:, :] - disp[:, :-1, :])
+    dx_i = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), axis=-1)
+    dy_i = jnp.mean(jnp.abs(img[:, 1:, :] - img[:, :-1, :]), axis=-1)
+    return (dx_d * jnp.exp(-dx_i)).mean() + (dy_d * jnp.exp(-dy_i)).mean()
+
+
 def _downsample_gt(gt: jnp.ndarray, scale: int, sparse: bool) -> jnp.ndarray:
     """adaptive_{avg,max}_pool2d for integer scales (loss.py:199-204,215)."""
     b, h, w = gt.shape
