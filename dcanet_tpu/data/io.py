@@ -57,7 +57,17 @@ def write_pfm(path: PathLike, data: np.ndarray, scale: float = 1.0) -> None:
 
 
 def read_image(path: PathLike) -> np.ndarray:
-    """RGB image as float32 (H, W, 3) in [0, 255]."""
+    """RGB image as float32 (H, W, 3) in [0, 255]. Uses the native C++
+    decoder (data/native.py) when built; PIL otherwise."""
+    from dcanet_tpu.data import native
+
+    if native.available():
+        try:
+            img = native.read_image_f32(str(path))
+            if img.ndim == 3 and img.shape[-1] == 3 and img.max() <= 255.0:
+                return img
+        except OSError:
+            pass
     from PIL import Image
 
     with Image.open(path) as img:
@@ -75,6 +85,20 @@ def read_disparity(path: PathLike) -> np.ndarray:
     .pfm -> PFM; .png -> uint16/256 KITTI convention (dataloader/
     datasets.py:308); inf values cleaned to 0 (Middlebury, datasets.py:459)."""
     path = str(path)
+    from dcanet_tpu.data import native
+
+    if native.available():
+        try:
+            disp = native.read_image_f32(path)
+            if disp.ndim == 3:
+                disp = disp[..., 0]
+            if not path.endswith(".pfm") and disp.max() > 1024:
+                disp = disp / 256.0  # uint16-encoded KITTI PNG
+            return np.ascontiguousarray(
+                np.where(np.isinf(disp), 0.0, disp), np.float32
+            )
+        except OSError:
+            pass
     if path.endswith(".pfm"):
         disp, _ = read_pfm(path)
     else:
