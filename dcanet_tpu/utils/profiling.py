@@ -32,25 +32,38 @@ def trace(logdir: str):
 
 
 def device_time(fn: Callable, *args, iters: int = 10, salt_arg: int = 0):
-    """Amortized per-call device time of `fn(*args)` in seconds.
-
-    `fn` must accept a scalar addition to its `salt_arg`-th argument (used to
-    chain iterations into a serial dependency so one host fetch at the end
-    covers all of them).
+    """Per-call device time of `fn(*args)` in seconds, robust to tunnel
+    backends: the iteration loop runs INSIDE one jit dispatch (lax.scan with
+    a serial data dependency through `salt_arg`), and per-dispatch overhead
+    is removed by differencing two iteration counts.
     """
-    out = fn(*args)
-    first = jax.tree.leaves(out)[0]
-    _ = float(jnp.asarray(first).ravel()[0])  # warm + sync
-    salt = jnp.asarray(0.0, first.dtype)
+
+    def make(n):
+        @jax.jit
+        def run(*a):
+            def body(salt, _):
+                chained = list(a)
+                chained[salt_arg] = chained[salt_arg] + salt
+                out = fn(*chained)
+                first = jax.tree.leaves(out)[0]
+                return (first.ravel()[0] * 1e-12).astype(jnp.float32), None
+
+            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return final
+
+        return run
+
+    lo, hi = max(1, iters // 4), iters
+    run_lo, run_hi = make(lo), make(hi)
+    _ = float(run_lo(*args))  # compile + warm
+    _ = float(run_hi(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        chained = list(args)
-        chained[salt_arg] = chained[salt_arg] + salt
-        out = fn(*chained)
-        first = jax.tree.leaves(out)[0]
-        salt = first.ravel()[0] * 1e-12
-    _ = float(salt)
-    return (time.perf_counter() - t0) / iters
+    _ = float(run_lo(*args))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(run_hi(*args))
+    t_hi = time.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
 class StepTimer:

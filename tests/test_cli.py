@@ -1,0 +1,67 @@
+"""CLI smoke test: 1-epoch train + eval + infer on a synthetic KITTI tree
+with a tiny model (maxdisp 32)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _make_kitti_tree(root, n=2, h=96, w=160):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for sub in ["image_2", "image_3", "disp_occ_0"]:
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(n):
+        name = f"{i:06d}_10.png"
+        for sub in ["image_2", "image_3"]:
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / sub / name)
+        disp = (rng.random((h, w)) * 20 * 256).astype(np.uint16)
+        Image.fromarray(disp).save(root / "disp_occ_0" / name)
+
+
+@pytest.mark.slow
+def test_cli_train_eval_infer(tmp_path):
+    from dcanet_tpu import cli
+    from dcanet_tpu.config import preset
+
+    root = tmp_path / "kitti"
+    root.mkdir()
+    _make_kitti_tree(root)
+
+    cfg = preset(
+        "kitti",
+        data_root=str(root),
+        data_root2="",
+        dataset="kitti2015",
+        maxdisp=32,
+        batch_size=1,
+        epochs=1,
+        logdir=str(tmp_path / "run"),
+        model="dcanet-cva1",
+        num_workers=2,
+    )
+    # crop must fit the synthetic 96x160 images
+    from dcanet_tpu.data import datasets as D
+
+    old_crop = D.PRESETS["kitti"]["crop"]
+    D.PRESETS["kitti"]["crop"] = (64, 128)
+    try:
+        cfg.save_after_epoch = 0
+        cfg.print_freq = 1
+        cli.cmd_train(cfg)
+        assert os.path.exists(tmp_path / "run" / "ckpt")
+        results = cli.cmd_eval(cfg)
+        assert np.isfinite(results["epe"])
+        out_png = tmp_path / "disp.png"
+        cli.cmd_infer(
+            cfg,
+            str(root / "image_2" / "000000_10.png"),
+            str(root / "image_3" / "000000_10.png"),
+            str(out_png),
+        )
+        assert out_png.exists()
+    finally:
+        D.PRESETS["kitti"]["crop"] = old_crop
