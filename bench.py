@@ -5,8 +5,10 @@ Mirrors the reference's measurement (my_img.py:89-111: per-image wall time on
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Timing notes for the axon TPU tunnel: `block_until_ready` does not actually
-block, so each phase dispatches N dependent iterations and synchronizes ONCE
-via a host fetch of a scalar reduction of the final output.
+block and each dispatch costs seconds of round trip, so the iteration loop
+runs INSIDE one jit (lax.scan with a serial data dependency), and dispatch
+overhead is removed by differencing two iteration counts
+(utils/profiling.device_time). This measures true device throughput.
 
 `vs_baseline` compares against the first TPU measurement pinned in
 BENCH_BASELINE.json (the reference repo publishes no numbers — BASELINE.md).
@@ -46,31 +48,24 @@ def main():
     jax.tree.map(lambda x: x.block_until_ready(), variables)
     print(f"# init: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    @jax.jit
-    def fwd(left, right, salt):
-        # `salt` chains iterations so dispatched steps are data-dependent
-        out = model.apply(variables, left + salt, right, train=False)
+    from dcanet_tpu.utils.profiling import device_time
+
+    def fwd(left, right):
+        out = model.apply(variables, left, right, train=False)
         return out.disparity
 
     key = jax.random.PRNGKey(1)
     left = jax.random.normal(key, (1, H, W, 3), jnp.float32)
     right = jax.random.normal(key, (1, H, W, 3), jnp.float32)
 
-    # compile + warmup with a real sync (host fetch)
     t0 = time.perf_counter()
-    d = fwd(left, right, 0.0)
-    _ = float(d.mean())
-    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s", flush=True)
-
-    t0 = time.perf_counter()
-    salt = jnp.asarray(0.0)
-    for _ in range(ITERS):
-        d = fwd(left, right, salt)
-        salt = d[0, 0, 0] * 1e-9  # data dependency: forces serial execution
-    _ = float(salt)  # single sync for the whole chain
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = device_time(fwd, left, right, iters=ITERS)
+    print(
+        f"# device/iter: {dt*1e3:.1f} ms (measure incl. compile: "
+        f"{time.perf_counter() - t0:.1f}s)",
+        flush=True,
+    )
     pairs_per_sec = 1.0 / dt
-    print(f"# per-iter: {dt*1e3:.1f} ms", flush=True)
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):

@@ -107,12 +107,13 @@ def cmd_train(cfg):
     logger = MetricLogger(cfg.logdir)
     meters = AverageMeterDict()
 
+    from dcanet_tpu.data.loader import device_prefetch
+
     start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        for bi, batch in enumerate(loader):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        for bi, batch in enumerate(device_prefetch(loader)):
             state, metrics = train_step(state, batch, loss_cfg)
             meters.update({k: float(v) for k, v in metrics.items()})
             if (bi + 1) % cfg.print_freq == 0:
