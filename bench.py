@@ -38,7 +38,13 @@ BASELINE_FILE = os.path.join(
 def main():
     from dcanet_tpu.models import DCANet
 
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16" else None
+    # bf16 compute (f32 params, f32 soft-argmin) is the TPU-native inference
+    # configuration: the cost-volume 3D convs run on the MXU's bf16 path.
+    # Accuracy parity vs f32 must be validated on trained weights (random
+    # weights give a near-uniform softmax whose soft-argmin is chaotic, so no
+    # meaningful drift number exists pre-training). BENCH_DTYPE=f32 gives the
+    # f32 run.
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else None
     model = DCANet(maxdisp=MAXDISP, num_cva=3, dtype=dtype)
 
     small = jnp.zeros((1, 64, 256, 3), jnp.float32)

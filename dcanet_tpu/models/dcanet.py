@@ -48,7 +48,7 @@ from flax import linen as nn
 from dcanet_tpu.nn.cva import CVA
 from dcanet_tpu.nn.feature import FeatureExtractor
 from dcanet_tpu.nn.guidance import Guidance
-from dcanet_tpu.nn.layers import ConvBN, ConvBNAct, reference_conv_init
+from dcanet_tpu.nn.layers import Conv, ConvBN, ConvBNAct, reference_conv_init
 from dcanet_tpu.nn.propagation import PropagationNet
 from dcanet_tpu.ops.cost_volume import build_concat_volume, build_gwc_volume
 from dcanet_tpu.ops.regression import disparity_regression
@@ -91,7 +91,7 @@ class _Classifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         y = ConvBNAct(self.channels, 3, 1, 1, dims=3, dtype=self.dtype)(x, train)
-        return nn.Conv(
+        return Conv(
             1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
             kernel_init=reference_conv_init, dtype=self.dtype,
         )(y)[..., 0]  # (B, D, H, W)

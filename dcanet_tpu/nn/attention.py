@@ -15,7 +15,7 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dcanet_tpu.nn.layers import BatchNorm, reference_conv_init
+from dcanet_tpu.nn.layers import BatchNorm, Conv, reference_conv_init
 
 Dtype = Any
 
@@ -33,7 +33,7 @@ class Projection(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(self.num_convs):
-            x = nn.Conv(
+            x = Conv(
                 self.features, (1, 1, 1), use_bias=False,
                 kernel_init=reference_conv_init, dtype=self.dtype,
             )(x)

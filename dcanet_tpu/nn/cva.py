@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from dcanet_tpu.nn.aggregation import MultiAggregation
 from dcanet_tpu.nn.attention import DisparityAttentionBlock
-from dcanet_tpu.nn.layers import AvgPool3dTorch, ConvBN, ConvBNAct, reference_conv_init
+from dcanet_tpu.nn.layers import AvgPool3dTorch, Conv, ConvBN, ConvBNAct, reference_conv_init
 from dcanet_tpu.ops.slc import slc_pool
 from dcanet_tpu.ops.upsample import resize_trilinear
 
@@ -72,7 +72,7 @@ class CVA(nn.Module):
         # classify head: convbn_3d+relu then 3x3x3 conv -> 1 channel
         y = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype,
                       name="classify0")(cost_down, train)
-        logits = nn.Conv(
+        logits = Conv(
             1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
             kernel_init=reference_conv_init, dtype=self.dtype, name="classify1",
         )(y)[..., 0]  # (B, D', H', W')

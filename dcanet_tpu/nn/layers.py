@@ -45,6 +45,102 @@ def _tuple(v, n):
     return (v,) * n
 
 
+class Conv(nn.Conv):
+    """nn.Conv with a TPU fast path for 3x3x3 stride-1 3D convs.
+
+    XLA's native Conv3D at the cost-volume channel widths (C=32) runs at
+    ~16 TFLOPS on v5e (~8% of MXU peak; measured, tools/bench_conv3d.py).
+    Re-expressing the D-axis taps as three 2D convs with D folded into the
+    batch ("dslice") measures 1.4x faster in bf16 and lets XLA use its
+    well-tuned 2D conv path. Same class name as nn.Conv so flax param paths
+    ("Conv_N/kernel") — and therefore the torch-checkpoint mapping — are
+    unchanged.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        def dims(v, n):
+            if v is None:
+                return (1,) * n
+            return (v,) * n if isinstance(v, int) else tuple(v)
+
+        assert not isinstance(self.kernel_size, int)
+        ks = tuple(self.kernel_size)
+        n = len(ks)
+        strides = dims(self.strides, n)
+        dilation = dims(self.kernel_dilation, n)
+        assert self.feature_group_count == 1
+        if isinstance(self.padding, str):
+            padding = self.padding  # 'SAME'/'VALID' accepted by lax
+        elif isinstance(self.padding, int):
+            padding = ((self.padding, self.padding),) * n
+        else:
+            padding = tuple(
+                (p, p) if isinstance(p, int) else tuple(p) for p in self.padding
+            )
+
+        kernel_shape = ks + (x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kernel_shape, self.param_dtype)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        from flax.linen.dtypes import promote_dtype
+
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+
+        on_tpu = jax.default_backend() == "tpu"
+        pointwise = (
+            all(k == 1 for k in ks)
+            and all(s == 1 for s in strides)
+            and (isinstance(padding, str) or all(p == (0, 0) for p in padding))
+        )
+        fast = (
+            ks == (3, 3, 3)
+            and strides == (1, 1, 1)  # a stride-2 dslice measured 2x slower
+            and dilation == (1, 1, 1)
+            and padding == ((1, 1), (1, 1), (1, 1))
+            and x.dtype == jnp.bfloat16  # dslice loses to native conv3d at f32
+            and on_tpu
+        )
+        if pointwise and on_tpu:
+            # 1x1xx1 conv == matmul over a flattened spatial dim; XLA's
+            # pointwise ConvND lowering measured ~7x off the HBM roofline.
+            wmat = kernel.reshape(x.shape[-1], self.features)
+            y = jax.lax.dot_general(
+                x, wmat,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                precision=self.precision,
+            )
+        elif fast:
+            b, d, h, wd, c = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            y = None
+            for kd in range(3):
+                xs = xp[:, kd : kd + d].reshape(b * d, h, wd, c)
+                part = jax.lax.conv_general_dilated(
+                    xs, kernel[kd], (1, 1), [(1, 1)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=self.precision,
+                )
+                y = part if y is None else y + part
+            y = y.reshape(b, d, h, wd, self.features)
+        else:
+            dn = {
+                1: ("NWC", "WIO", "NWC"),
+                2: ("NHWC", "HWIO", "NHWC"),
+                3: ("NDHWC", "DHWIO", "NDHWC"),
+            }[n]
+            y = jax.lax.conv_general_dilated(
+                x, kernel, strides, padding, rhs_dilation=dilation,
+                dimension_numbers=dn, precision=self.precision,
+            )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class BatchNorm(nn.Module):
     """Thin wrapper pinning torch-equivalent BN defaults (momentum 0.1 torch
     == 0.9 flax decay, eps 1e-5)."""
@@ -84,7 +180,7 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool):
         n = self.dims
         pad = _tuple(self.padding, n)
-        y = nn.Conv(
+        y = Conv(
             features=self.features,
             kernel_size=_tuple(self.kernel, n),
             strides=_tuple(self.strides, n),
@@ -144,7 +240,7 @@ class BasicBlock(nn.Module):
             self.planes, 3, 1, pad, self.dilation, dims=2, dtype=self.dtype
         )(out, train)
         if self.strides != 1 or in_planes != self.planes:
-            x = nn.Conv(
+            x = Conv(
                 self.planes, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, kernel_init=reference_conv_init,
                 dtype=self.dtype,
@@ -170,7 +266,7 @@ class BasicConv(nn.Module):
     def __call__(self, x, train: bool):
         n = self.dims
         pad = _tuple(self.padding, n)
-        y = nn.Conv(
+        y = Conv(
             self.features,
             kernel_size=_tuple(self.kernel, n),
             strides=_tuple(self.strides, n),
@@ -299,6 +395,8 @@ class AvgPool3dTorch(nn.Module):
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel, self.strides, self.padding
+        # (a separable 3-pass variant measured 2x SLOWER than this monolithic
+        # reduce_window on v5e — XLA already fuses the window well here)
         window = (1, k, k, k, 1)
         strides = (1, s, s, s, 1)
         pads = ((0, 0), (p, p), (p, p), (p, p), (0, 0))

@@ -43,10 +43,17 @@ def device_time(fn: Callable, *args, iters: int = 10, salt_arg: int = 0):
         def run(*a):
             def body(salt, _):
                 chained = list(a)
-                chained[salt_arg] = chained[salt_arg] + salt
+                chained[salt_arg] = (
+                    chained[salt_arg] + salt.astype(chained[salt_arg].dtype)
+                )
                 out = fn(*chained)
                 first = jax.tree.leaves(out)[0]
-                return (first.ravel()[0] * 1e-12).astype(jnp.float32), None
+                # full reduction: reading ONE element would let XLA's
+                # slice-narrowing DCE shrink the whole computation to a
+                # receptive-field window (observed: a lone conv3d "ran" in
+                # 0 ms). The sum's bandwidth cost is per-iteration but small
+                # and identical across the two differenced iteration counts.
+                return (jnp.sum(first) * 1e-12).astype(jnp.float32), None
 
             final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return final
@@ -57,12 +64,16 @@ def device_time(fn: Callable, *args, iters: int = 10, salt_arg: int = 0):
     run_lo, run_hi = make(lo), make(hi)
     _ = float(run_lo(*args))  # compile + warm
     _ = float(run_hi(*args))
-    t0 = time.perf_counter()
-    _ = float(run_lo(*args))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = float(run_hi(*args))
-    t_hi = time.perf_counter() - t0
+
+    def timed(run):
+        t0 = time.perf_counter()
+        _ = float(run(*args))
+        return time.perf_counter() - t0
+
+    # tunnel round-trip time is noisy: take the min difference over trials
+    # (min-of-diffs of mins is the standard noise-robust estimator here).
+    t_lo = min(timed(run_lo) for _ in range(3))
+    t_hi = min(timed(run_hi) for _ in range(3))
     return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
