@@ -4,12 +4,14 @@ from dcanet_tpu.models.dcanet import (
     DCANetTrainOutput,
     GwcNetBaseline,
 )
+from dcanet_tpu.models.ganet import GANetStereo
 from dcanet_tpu.models.registry import MODELS, make_model
 
 __all__ = [
     "DCANet",
     "DCANetEvalOutput",
     "DCANetTrainOutput",
+    "GANetStereo",
     "GwcNetBaseline",
     "MODELS",
     "make_model",

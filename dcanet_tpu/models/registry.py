@@ -7,6 +7,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict
 
 from dcanet_tpu.models.dcanet import DCANet, GwcNetBaseline
+from dcanet_tpu.models.ganet import GANetStereo
 
 
 def _dca(num_cva: int, use_concat: bool = True, full_res: bool = False) -> Callable:
@@ -38,6 +39,9 @@ MODELS: Dict[str, Callable] = {
     "gwcnet-gc": lambda maxdisp=192, **kw: GwcNetBaseline(
         maxdisp=maxdisp, use_concat_volume=True, **kw
     ),
+    # guided-aggregation lineage (reference models/libs/GANet — CUDA kernels
+    # vendored but never assembled; completed here)
+    "ganet": lambda maxdisp=192, **kw: GANetStereo(maxdisp=maxdisp, **kw),
 }
 
 

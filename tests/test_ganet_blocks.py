@@ -32,6 +32,40 @@ def test_sga_block(rng):
 
 
 @pytest.mark.slow
+def test_ganet_stereo_model():
+    """Full GANet-capability net: train/eval contracts + one optimizer step."""
+    import optax
+
+    from dcanet_tpu.models import GANetStereo
+    from dcanet_tpu.train.loop import LossConfig, train_step
+    from dcanet_tpu.train.state import create_train_state
+
+    maxdisp, h, w = 32, 32, 64
+    model = GANetStereo(maxdisp=maxdisp, num_sga=2, use_lga=True)
+    k1, k2, kd = jax.random.split(jax.random.PRNGKey(0), 3)
+    left = jax.random.normal(k1, (1, h, w, 3), jnp.float32)
+    right = jax.random.normal(k2, (1, h, w, 3), jnp.float32)
+
+    variables = model.init(KEY, left, right, train=True)
+    out, _ = model.apply(variables, left, right, train=True, mutable=["batch_stats"])
+    assert len(out.disparities) == 3  # one per SGA stage + final
+    for d in out.disparities:
+        assert d.shape == (1, h, w)
+        assert np.isfinite(np.asarray(d)).all()
+    ev = model.apply(variables, left, right, train=False)
+    assert ev.disparity.shape == (1, h, w)
+
+    batch = {
+        "left": left,
+        "right": right,
+        "disparity": jax.random.uniform(kd, (1, h, w), jnp.float32, 1.0, maxdisp - 2.0),
+    }
+    state = create_train_state(model, KEY, left, right, optax.adam(1e-3))
+    state, metrics = train_step(state, batch, LossConfig(max_disp=maxdisp, preset="smooth_l1"))
+    assert np.isfinite(float(metrics["total"]))
+
+
+@pytest.mark.slow
 def test_lga_block(rng):
     cost = jnp.asarray(rng.standard_normal((1, 4, 8, 10, 2), dtype=np.float32))
     gf = jnp.asarray(rng.standard_normal((1, 8, 10, 16), dtype=np.float32))

@@ -62,6 +62,26 @@ def test_batch_stats_update():
 
 
 @pytest.mark.slow
+def test_gwcnet_baseline_train_step():
+    from dcanet_tpu.models import GwcNetBaseline
+
+    model = GwcNetBaseline(maxdisp=MAXDISP)
+    key = jax.random.PRNGKey(3)
+    batch = _batch(key)
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    cfg = LossConfig(
+        max_disp=MAXDISP, preset="smooth_l1",
+        disparity_weights=(0.5, 0.5, 0.7, 1.0),  # gwcnet ladder (gwcnet.py)
+    )
+    state, metrics = train_step(state, batch, cfg)
+    assert np.isfinite(float(metrics["total"]))
+    em = eval_step(state, batch, cfg)
+    assert np.isfinite(float(em["epe"]))
+
+
+@pytest.mark.slow
 def test_kitti_preset_sparse_gt():
     model = DCANet(maxdisp=MAXDISP, num_cva=2)
     key = jax.random.PRNGKey(2)
