@@ -112,6 +112,13 @@ class DCANet(nn.Module):
     constrain_volume: Optional[Callable] = None
     # None = auto (Pallas gwc kernel on TPU, XLA op on CPU)
     use_pallas: Optional[bool] = None
+    # True (default, TPU fast path): run left+right through the shared
+    # feature extractor as ONE stacked batch — in train mode, BN batch stats
+    # are computed jointly over the pair. False matches the reference's two
+    # separate calls (gwcnet_dca_g.py:213-214) whose train-mode BN stats are
+    # per-image; needed for bit-parity with torch in train mode (eval mode is
+    # identical either way since BN uses running stats).
+    stacked_features: bool = True
 
     def _constrain(self, x):
         return self.constrain_volume(x) if self.constrain_volume is not None else x
@@ -122,18 +129,25 @@ class DCANet(nn.Module):
         d4 = self.maxdisp // 4
         c = self.base_channels
 
-        feats = FeatureExtractor(
+        extractor = FeatureExtractor(
             concat_feature=self.use_concat_volume,
             concat_feature_channel=self.concat_channels,
             dtype=self.dtype,
             name="feature_extraction",
-        )(jnp.concatenate([left, right], axis=0), train)
+        )
+        if self.stacked_features:
+            feats = extractor(jnp.concatenate([left, right], axis=0), train)
+            feats_l = {k: v[:b] for k, v in feats.items()}
+            feats_r = {k: v[b:] for k, v in feats.items()}
+        else:
+            feats_l = extractor(left, train)
+            feats_r = extractor(right, train)
         guidance = Guidance(64, dtype=self.dtype, name="guidance")(left, train)["g"]
 
-        gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
+        gwc_l, gwc_r = feats_l["gwc_feature"], feats_r["gwc_feature"]
         volume = _gwc_volume(gwc_l, gwc_r, d4, self.num_groups, self.use_pallas)
         if self.use_concat_volume:
-            cat_l, cat_r = feats["concat_feature"][:b], feats["concat_feature"][b:]
+            cat_l, cat_r = feats_l["concat_feature"], feats_r["concat_feature"]
             volume = jnp.concatenate(
                 [volume, build_concat_volume(cat_l, cat_r, d4)], axis=-1
             )
