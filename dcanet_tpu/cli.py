@@ -54,7 +54,7 @@ def _build_dataset(cfg, training: bool):
     return StereoDataset(samples, training, "kitti")
 
 
-def _make_state(cfg, steps_per_epoch: int):
+def _make_state(cfg, steps_per_epoch: int, mesh=None):
     import optax
 
     from dcanet_tpu.models import make_model
@@ -66,7 +66,12 @@ def _make_state(cfg, steps_per_epoch: int):
     from dcanet_tpu.train.state import create_train_state
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
-    model = make_model(cfg.model, maxdisp=cfg.maxdisp, dtype=dtype)
+    kw = {}
+    if mesh is not None and mesh.shape.get("disp", 1) > 1:
+        from dcanet_tpu.parallel import make_disp_constraint
+
+        kw["constrain_volume"] = make_disp_constraint(mesh)
+    model = make_model(cfg.model, maxdisp=cfg.maxdisp, dtype=dtype, **kw)
     if cfg.lr_spec:
         sched = epoch_decay_schedule(cfg.base_lr, cfg.lr_spec, steps_per_epoch)
     else:
@@ -79,9 +84,37 @@ def _make_state(cfg, steps_per_epoch: int):
 
 def cmd_train(cfg):
     from dcanet_tpu.data.loader import Loader
+    from dcanet_tpu.parallel import make_mesh, replicate
+    from dcanet_tpu.parallel.distributed import initialize
     from dcanet_tpu.train.checkpoint import CheckpointManager
     from dcanet_tpu.train.loop import LossConfig, eval_step, train_step
     from dcanet_tpu.utils import AverageMeterDict, MetricLogger
+
+    # Multi-chip SPMD: multi-host runtime init (no-op single-process), then a
+    # (data, disp) mesh over all devices. The same jitted train_step runs
+    # 1-chip and pod-slice; XLA inserts the gradient psum over ICI. This is
+    # the end-to-end replacement for the reference's nn.DataParallel wrap
+    # (main_dca.py:53-55).
+    initialize()
+    n_avail = len(jax.devices()) // cfg.n_disp_shards
+    if cfg.n_data_shards is not None:
+        n_data = cfg.n_data_shards
+        if cfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"n_data_shards {n_data}"
+            )
+    else:
+        import math
+
+        n_data = math.gcd(cfg.batch_size, n_avail)
+        if n_data < n_avail:
+            print(
+                f"NOTE: using {n_data}/{n_avail} devices on the data axis "
+                f"(largest divisor of batch_size {cfg.batch_size}); raise "
+                f"--batch-size to use the full slice"
+            )
+    mesh = make_mesh(n_data=n_data, n_disp=cfg.n_disp_shards)
 
     train_ds = _build_dataset(cfg, training=True)
     print(f"train samples: {len(train_ds)}")
@@ -89,9 +122,10 @@ def cmd_train(cfg):
         train_ds, cfg.batch_size, seed=cfg.seed, num_workers=cfg.num_workers
     )
     steps_per_epoch = max(len(loader), 1)
-    model, state = _make_state(cfg, steps_per_epoch)
+    model, state = _make_state(cfg, steps_per_epoch, mesh=mesh)
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
     print(f"model params: {n_params / 1e6:.2f}M")
+    print(f"mesh: data={n_data} disp={mesh.shape['disp']}")
 
     ckpt = CheckpointManager(cfg.logdir + "/ckpt")
     if cfg.resume and ckpt.latest_step() is not None:
@@ -107,27 +141,35 @@ def cmd_train(cfg):
     logger = MetricLogger(cfg.logdir)
     meters = AverageMeterDict()
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
     from dcanet_tpu.data.loader import device_prefetch
 
+    state = replicate(state, mesh)
+    data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
     start_epoch = int(state.step) // steps_per_epoch
-    for epoch in range(start_epoch, cfg.epochs):
-        loader.set_epoch(epoch)
-        t0 = time.time()
-        for bi, batch in enumerate(device_prefetch(loader)):
-            state, metrics = train_step(state, batch, loss_cfg)
-            meters.update({k: float(v) for k, v in metrics.items()})
-            if (bi + 1) % cfg.print_freq == 0:
-                m = meters.mean()
-                rate = cfg.batch_size * (bi + 1) / (time.time() - t0)
-                print(
-                    f"epoch {epoch} step {bi+1}/{steps_per_epoch} "
-                    f"loss {m['total']:.3f} epe {m['epe']:.3f} "
-                    f"({rate:.2f} pairs/s)"
-                )
-                logger.log(int(state.step), m, prefix="train/")
-                meters.reset()
-        if epoch >= cfg.save_after_epoch and (epoch + 1) % cfg.save_every_epochs == 0:
-            ckpt.save(state)
+    with jax.sharding.set_mesh(mesh):
+        for epoch in range(start_epoch, cfg.epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for bi, batch in enumerate(
+                device_prefetch(loader, sharding=data_sharding)
+            ):
+                state, metrics = train_step(state, batch, loss_cfg)
+                meters.update({k: float(v) for k, v in metrics.items()})
+                if (bi + 1) % cfg.print_freq == 0:
+                    m = meters.mean()
+                    rate = cfg.batch_size * (bi + 1) / (time.time() - t0)
+                    print(
+                        f"epoch {epoch} step {bi+1}/{steps_per_epoch} "
+                        f"loss {m['total']:.3f} epe {m['epe']:.3f} "
+                        f"({rate:.2f} pairs/s)"
+                    )
+                    logger.log(int(state.step), m, prefix="train/")
+                    meters.reset()
+            if epoch >= cfg.save_after_epoch and (epoch + 1) % cfg.save_every_epochs == 0:
+                ckpt.save(state)
     ckpt.wait()
     print("training done")
 
@@ -137,7 +179,7 @@ def cmd_eval(cfg, ckpt_path=None):
     from dcanet_tpu.train.checkpoint import CheckpointManager
     from dcanet_tpu.train.metrics import (
         disparity_class_confusion,
-        eval_metrics,
+        per_image_metrics,
         segmentation_scores,
     )
     from dcanet_tpu.utils import AverageMeterDict
@@ -163,8 +205,14 @@ def cmd_eval(cfg, ckpt_path=None):
         disp = unpad(np.asarray(out.disparity[0]), pads)
         gt = item["disparity"]
         mask = (gt > 0) & (gt < cfg.maxdisp)
-        m = eval_metrics(jnp.asarray(disp), jnp.asarray(gt), jnp.asarray(mask))
-        meters.update({k: float(v) for k, v in m.items()})
+        # reference eval protocol: per-image metrics with the <10%-valid skip
+        # (utils/metrics.py:22-41); skipped images contribute n=0.
+        m = per_image_metrics(
+            jnp.asarray(disp)[None], jnp.asarray(gt)[None], jnp.asarray(mask)[None]
+        )
+        n_valid = int(m.pop("n_valid_images"))
+        if n_valid:
+            meters.update({k: float(v) for k, v in m.items()}, n=n_valid)
         if out.class_logits:
             lg = out.class_logits[-1]
             num_classes = lg.shape[1]
@@ -180,7 +228,14 @@ def cmd_eval(cfg, ckpt_path=None):
     return results
 
 
-def cmd_infer(cfg, left_path, right_path, out_path):
+def cmd_infer(cfg, left_path, right_path, out_path, submission: bool = False):
+    """Single-pair inference -> uint16 PNG x256.
+
+    --submission reproduces the reference's benchmark-submission protocol
+    (my_img.py:47-111): per-image per-channel whitening + fixed 384x1248
+    pad/crop + per-image wall-time print. Default path uses the training
+    normalization (ImageNet stats) and pad-to-16.
+    """
     from dcanet_tpu.data.io import normalize_imagenet, read_image, write_kitti_submission_png
     from dcanet_tpu.data.loader import pad_to_multiple, unpad
     from dcanet_tpu.train.checkpoint import CheckpointManager
@@ -192,15 +247,32 @@ def cmd_infer(cfg, left_path, right_path, out_path):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False).disparity)
 
-    left = normalize_imagenet(read_image(left_path))
-    right = normalize_imagenet(read_image(right_path))
-    left_p, pads = pad_to_multiple(left, 16)
-    right_p, _ = pad_to_multiple(right, 16)
-    t0 = time.time()
-    disp = fwd(left_p[None].astype(np.float32), right_p[None].astype(np.float32))
-    disp = np.asarray(disp)[0]
-    print(f"inference time: {time.time() - t0:.3f}s (incl. compile on first call)")
-    disp = unpad(disp, pads)
+    if submission:
+        from dcanet_tpu.data.submission import (
+            from_submission_shape,
+            to_submission_shape,
+            whiten_per_channel,
+        )
+
+        left_p, orig_hw = to_submission_shape(whiten_per_channel(read_image(left_path)))
+        right_p, _ = to_submission_shape(whiten_per_channel(read_image(right_path)))
+        t0 = time.time()
+        disp = np.asarray(
+            fwd(left_p[None].astype(np.float32), right_p[None].astype(np.float32))
+        )[0]
+        # per-image timing print, my_img.py:103 protocol
+        print(f"full inference time = {time.time() - t0:.4f} seconds")
+        disp = from_submission_shape(disp, orig_hw)
+    else:
+        left = normalize_imagenet(read_image(left_path))
+        right = normalize_imagenet(read_image(right_path))
+        left_p, pads = pad_to_multiple(left, 16)
+        right_p, _ = pad_to_multiple(right, 16)
+        t0 = time.time()
+        disp = fwd(left_p[None].astype(np.float32), right_p[None].astype(np.float32))
+        disp = np.asarray(disp)[0]
+        print(f"inference time: {time.time() - t0:.3f}s (incl. compile on first call)")
+        disp = unpad(disp, pads)
     write_kitti_submission_png(out_path, disp)
     print(f"wrote {out_path}")
 
@@ -249,6 +321,10 @@ def main(argv=None):
     sp_infer.add_argument("--left", required=True)
     sp_infer.add_argument("--right", required=True)
     sp_infer.add_argument("--out", required=True)
+    sp_infer.add_argument(
+        "--submission", action="store_true",
+        help="my_img.py protocol: per-channel whitening + 384x1248 pad/crop",
+    )
     sp_export = sub.add_parser("export")
     add_common(sp_export)
     sp_export.add_argument("--out", required=True)

@@ -47,6 +47,9 @@ class RunConfig:
 
     # parallel
     n_disp_shards: int = 1
+    # data-axis size; None = auto (largest divisor of batch_size that fits
+    # the available devices — chosen loudly at startup)
+    n_data_shards: Optional[int] = None
 
 
 # Reference-equivalent presets (BASELINE.md "run configurations")

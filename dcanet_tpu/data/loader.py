@@ -155,7 +155,14 @@ class Loader:
 
 
 def device_prefetch(iterator, sharding=None, depth: int = 2):
-    """Move batches to device ahead of consumption (double buffering)."""
+    """Move batches to device ahead of consumption (double buffering).
+
+    With `sharding` (a NamedSharding over the mesh's data axis) batches land
+    pre-sharded. Multi-host: the iterator yields this process's shard (see
+    `shard_for_host`) and the global array is assembled with
+    `make_array_from_process_local_data` — the global batch is
+    per_host_batch * process_count.
+    """
     import collections
 
     import jax
@@ -164,6 +171,11 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
 
     def put(batch):
         if sharding is not None:
+            if jax.process_count() > 1:
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(sharding, x),
+                    batch,
+                )
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

@@ -250,6 +250,7 @@ class GwcNetBaseline(nn.Module):
     num_groups: int = 40
     concat_channels: int = 12
     dtype: Optional[Dtype] = None
+    stacked_features: bool = True  # see DCANet.stacked_features
 
     @nn.compact
     def __call__(self, left, right, train: bool = False):
@@ -259,19 +260,32 @@ class GwcNetBaseline(nn.Module):
         d4 = self.maxdisp // 4
         c = 32
 
-        feats = FeatureExtractor(
+        extractor = FeatureExtractor(
             concat_feature=self.use_concat_volume,
             concat_feature_channel=self.concat_channels,
             dtype=self.dtype,
             name="feature_extraction",
-        )(jnp.concatenate([left, right], axis=0), train)
+        )
+        if self.stacked_features:
+            feats = extractor(jnp.concatenate([left, right], axis=0), train)
+            feats_l = {k: v[:b] for k, v in feats.items()}
+            feats_r = {k: v[b:] for k, v in feats.items()}
+        else:
+            feats_l = extractor(left, train)
+            feats_r = extractor(right, train)
 
-        gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
-        volume = build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups)
+        volume = build_gwc_volume(
+            feats_l["gwc_feature"], feats_r["gwc_feature"], d4, self.num_groups
+        )
         if self.use_concat_volume:
-            cat_l, cat_r = feats["concat_feature"][:b], feats["concat_feature"][b:]
             volume = jnp.concatenate(
-                [volume, build_concat_volume(cat_l, cat_r, d4)], axis=-1
+                [
+                    volume,
+                    build_concat_volume(
+                        feats_l["concat_feature"], feats_r["concat_feature"], d4
+                    ),
+                ],
+                axis=-1,
             )
 
         cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)

@@ -18,6 +18,13 @@ Pipeline:
 Train mode deep-supervises one soft-argmin disparity per SGA stage
 (full-res trilinear cost upsampling, as GANet's DisparityRegression +
 my CUDA-free GwcNetBaseline heads do).
+
+Documented deviation from the cited recipe: the reference normalizes the 5
+SGA scan-tap weights with SIGNED L1 (MyNormalize, modules/GANet.py — weights
+may be negative); the composed SGABlock here softmax-normalizes them
+(positive, sum-1) for scan stability on TPU (nn/ganet.py SGABlock). Weight
+semantics therefore differ from GANet checkpoints; parity with GANet weights
+would need an L1 option there.
 """
 
 from __future__ import annotations
@@ -83,17 +90,20 @@ class GANetStereo(nn.Module):
         y = ConvBN(c, 3, 1, 1, dims=3, dtype=self.dtype)(y, train)
         cost = y + cost
 
-        def head(name, vol5):
-            logits = _Classifier(c, dtype=self.dtype, name=name)(vol5, train)
-            p = nn.softmax(resize_trilinear(logits, 4), axis=1)
-            return disparity_regression(p, self.maxdisp)
-
         aux = []
         for i in range(self.num_sga):
             agg = SGABlock(dtype=self.dtype, name=f"sga{i}")(cost, guidance, train)
             cost = cost + agg
+            # aux heads are constructed unconditionally so train/eval inits
+            # yield identical param trees (an eval-initialized checkpoint
+            # must be trainable); only the compute is gated on `train`.
+            aux_head = _Classifier(c, dtype=self.dtype, name=f"classif_sga{i}")
             if train:
-                aux.append(head(f"classif_sga{i}", cost))
+                logits = aux_head(cost, train)
+                p = nn.softmax(resize_trilinear(logits, 4), axis=1)
+                aux.append(disparity_regression(p, self.maxdisp))
+            else:
+                _ = aux_head(cost[:, :1, :1, :1, :], train)
         if self.use_lga:
             cost = cost + LGABlock(dtype=self.dtype, name="lga")(
                 cost, guidance, train

@@ -1,10 +1,19 @@
 """Stereo evaluation metrics as on-device reductions.
 
-Parity: reference utils/metrics.py (EPE / D1 / Thres, batch-safe with the
-<10%-valid skip), util.py:55-74 (simple twins), and main_dca.py:66-120
-(SegmentationMetric — confusion-matrix PA/cPA/mPA/mIoU/FWIoU over disparity
-classes) plus the gt-class construction at main_dca.py:209-215 (gt/8
-avg-pooled to the 1/8 grid, floored).
+Parity: reference utils/metrics.py (EPE / D1 / Thres), util.py:55-74 (simple
+twins), and main_dca.py:66-120 (SegmentationMetric — confusion-matrix
+PA/cPA/mPA/mIoU/FWIoU over disparity classes) plus the gt-class construction
+at main_dca.py:209-215 (gt/8 avg-pooled to the 1/8 grid, floored).
+
+Two aggregation protocols, matching the reference's two code paths:
+  * `eval_metrics` — global masked means over the whole batch (the simple
+    util.py:55-74 twins used inside the training loops).
+  * `per_image_metrics` — the reference eval protocol
+    (utils/metrics.py:22-41 `compute_metric_for_each_image`): metrics are
+    computed per image, images whose valid-mask coverage is < 10% of their
+    gt>0 coverage are SKIPPED, and the kept images' values are averaged
+    (0.0 when every image is skipped). On sparse KITTI gt the two protocols
+    genuinely differ; `cmd_eval` uses this one.
 
 All functions are jit-friendly (static shapes, masked means).
 """
@@ -53,6 +62,48 @@ def eval_metrics(
         "thres2": thres_metric(disp_est, disp_gt, mask, 2.0),
         "thres3": thres_metric(disp_est, disp_gt, mask, 3.0),
     }
+
+
+def per_image_metrics(
+    disp_est: jnp.ndarray, disp_gt: jnp.ndarray, mask: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Reference eval protocol (utils/metrics.py:22-41): per-image metrics,
+    skipping images with mask.mean()/(gt>0).mean() < 0.1, then averaged over
+    the kept images (0.0 if none kept).
+
+    Inputs are batched (B, H, W). Returns the same keys as `eval_metrics`
+    plus `n_valid_images` (kept-image count, useful for dataset-level
+    re-weighting when accumulating across batches).
+    """
+    axes = tuple(range(1, disp_est.ndim))
+    m = mask.astype(jnp.float32)
+    msum = jnp.sum(m, axes)
+
+    def pmean(x):  # per-image masked mean -> (B,)
+        return jnp.sum(x * m, axes) / jnp.maximum(msum, 1.0)
+
+    err = jnp.abs(disp_est - disp_gt)
+    vals = {
+        "epe": pmean(err),
+        # D1 on masked pixels: E > 3 AND E/|gt| > 0.05 (utils/metrics.py:43-49)
+        "d1": pmean(((err > 3.0) & (err > 0.05 * jnp.abs(disp_gt))).astype(jnp.float32)),
+        "thres1": pmean((err > 1.0).astype(jnp.float32)),
+        "thres2": pmean((err > 2.0).astype(jnp.float32)),
+        "thres3": pmean((err > 3.0).astype(jnp.float32)),
+    }
+    gt_frac = jnp.mean((disp_gt > 0).astype(jnp.float32), axes)
+    mask_frac = jnp.mean(m, axes)
+    # keep iff mask_frac / gt_frac >= 0.1; multiplied form avoids the 0/0
+    # (gt_frac == 0 -> mask_frac == 0 -> skipped, matching the reference's
+    # nan-comparison behavior of dropping degenerate images).
+    keep = (mask_frac >= 0.1 * gt_frac) & (gt_frac > 0)
+    n_keep = jnp.sum(keep.astype(jnp.float32))
+    out = {
+        k: jnp.sum(jnp.where(keep, v, 0.0)) / jnp.maximum(n_keep, 1.0)
+        for k, v in vals.items()
+    }
+    out["n_valid_images"] = n_keep
+    return out
 
 
 def disparity_class_confusion(

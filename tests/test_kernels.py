@@ -37,6 +37,57 @@ def test_gwc_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_kdfold_conv3d_matches_xla(rng):
+    """kd-fold fast conv3d (XLA conv2d + Pallas epilogue, interpret mode on
+    CPU) vs the native 3D conv, incl. the fused affine+relu eval variant."""
+    import dcanet_tpu.kernels.conv3d as K
+
+    b, d, h, w, c, co = 1, 5, 8, 12, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, c), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, c, co), dtype=np.float32)) * 0.2
+    want = K.conv3d_xla(x, wt)
+
+    K._INTERPRET = True
+    try:
+        got = K.conv3d_kdfold(x, wt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, (co,)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+        got_f = K.conv3d_kdfold_fused(x, wt, scale, bias, relu=True)
+        want_f = jnp.maximum(want * scale + bias, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(got_f), np.asarray(want_f), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        K._INTERPRET = False
+
+
+def test_kdfold_grad_matches_xla(rng):
+    """custom_vjp of the kd-fold epilogue vs autodiff of the native conv."""
+    import dcanet_tpu.kernels.conv3d as K
+
+    b, d, h, w, c, co = 1, 4, 8, 10, 8, 8
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, c), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, c, co), dtype=np.float32)) * 0.2
+    g = jnp.asarray(rng.standard_normal((b, d, h, w, co), dtype=np.float32))
+
+    def ref_loss(x, wt):
+        return jnp.sum(K.conv3d_xla(x, wt) * g)
+
+    def fast_loss(x, wt):
+        return jnp.sum(K.conv3d_kdfold(x, wt) * g)
+
+    dref = jax.grad(ref_loss, argnums=(0, 1))(x, wt)
+    K._INTERPRET = True
+    try:
+        dfast = jax.grad(fast_loss, argnums=(0, 1))(x, wt)
+    finally:
+        K._INTERPRET = False
+    for a, b_ in zip(dfast, dref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
 def test_gwc_custom_vjp_matches_xla_grad(rng):
     """Backward (XLA formulation in the custom_vjp) vs autodiff of the
     reference op."""

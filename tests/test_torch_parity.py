@@ -118,3 +118,40 @@ def test_eval_and_train_parity(num_cva, inputs):
         np.testing.assert_allclose(np.asarray(f), t, atol=1e-3, rtol=0), i
     for i, (f, t) in enumerate(zip(tout.disparities, tdisps)):
         np.testing.assert_allclose(np.asarray(f), _np(t), atol=2e-2, rtol=0), i
+
+
+@pytest.mark.slow
+def test_gwcnet_baseline_train_parity(inputs):
+    """Plain-GwcNet baseline (models/gwcnet.py:107-249) vs GwcNetBaseline.
+    Train mode only: the reference's eval branch is hijacked for t-SNE
+    feature dumping (models/gwcnet.py:241-249) and doesn't return a
+    disparity."""
+    from dcanet_tpu.models.dcanet import GwcNetBaseline
+    from tools.torch_mapping import gwcnet_baseline_mapping
+
+    ref = load_reference_module("models.gwcnet")
+    torch.manual_seed(0)
+    tmodel = ref.GwcNet(MAXDISP, use_concat_volume=True)
+    randomize_bn_stats(tmodel, seed=1)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+    fmodel = GwcNetBaseline(maxdisp=MAXDISP, stacked_features=False)
+    left, right = inputs
+    xl = jnp.asarray(np.transpose(left, (0, 2, 3, 1)))
+    xr = jnp.asarray(np.transpose(right, (0, 2, 3, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), xl, xr, train=True)
+    params, stats = convert_state_dict(
+        sd, variables, mapping=gwcnet_baseline_mapping()
+    )
+    tmodel.train()
+    with torch.no_grad():
+        tdisps = tmodel(
+            torch.from_numpy(left), torch.from_numpy(right), None
+        )
+    out, _ = fmodel.apply(
+        {"params": params, "batch_stats": stats}, xl, xr, train=True,
+        mutable=["batch_stats"],
+    )
+    assert len(out.disparities) == len(tdisps) == 4
+    for i, (f, t) in enumerate(zip(out.disparities, tdisps)):
+        np.testing.assert_allclose(np.asarray(f), _np(t), atol=2e-2, rtol=0), i

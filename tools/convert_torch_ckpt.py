@@ -32,7 +32,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.torch_mapping import dcanet_mapping  # noqa: E402
+from tools.torch_mapping import dcanet_mapping, gwcnet_baseline_mapping  # noqa: E402
 
 
 def torch_conv2d_to_flax(w: np.ndarray) -> np.ndarray:
@@ -79,10 +79,11 @@ def _unflatten(flat, sep="/"):
 
 
 def convert_state_dict(
-    state_dict: Dict[str, np.ndarray], variables, num_cva: int = 3
+    state_dict: Dict[str, np.ndarray], variables, num_cva: int = 3, mapping=None
 ) -> Tuple[Dict, Dict]:
     """torch state_dict -> (params, batch_stats) matching `variables`'
-    structure. Raises on missing keys or shape mismatches."""
+    structure. Raises on missing keys or shape mismatches. `mapping` defaults
+    to the DCANet table; pass gwcnet_baseline_mapping() for the baseline."""
     sd = {
         re.sub(r"^module\.", "", k): np.asarray(v)
         for k, v in state_dict.items()
@@ -92,7 +93,7 @@ def convert_state_dict(
     stats = dict(_flatten(variables.get("batch_stats", {})))
     new_params, new_stats = {}, {}
 
-    for tkey, fpath, kind in dcanet_mapping(num_cva):
+    for tkey, fpath, kind in (mapping or dcanet_mapping(num_cva)):
         if kind == "bn":
             pairs = [
                 (f"{tkey}.weight", f"{fpath}/scale", new_params, params),
@@ -120,13 +121,13 @@ def convert_state_dict(
     return _unflatten(new_params), _unflatten(new_stats)
 
 
-def export_state_dict(variables, num_cva: int = 3) -> Dict[str, np.ndarray]:
+def export_state_dict(variables, num_cva: int = 3, mapping=None) -> Dict[str, np.ndarray]:
     """Inverse conversion (flax -> torch-style state_dict), used for the
     roundtrip selftest and for serving converted models back to torch."""
     params = dict(_flatten(variables["params"]))
     stats = dict(_flatten(variables.get("batch_stats", {})))
     sd = {}
-    for tkey, fpath, kind in dcanet_mapping(num_cva):
+    for tkey, fpath, kind in (mapping or dcanet_mapping(num_cva)):
         if kind == "bn":
             sd[f"{tkey}.weight"] = np.asarray(params[f"{fpath}/scale"])
             sd[f"{tkey}.bias"] = np.asarray(params[f"{fpath}/bias"])

@@ -52,7 +52,7 @@ def _basic_block(torch_prefix: str, flax_prefix: str, downsample: bool) -> List[
     return out
 
 
-def _feature_extraction(num_blocks=(3, 16, 3, 3)) -> List[Entry]:
+def _feature_extraction(num_blocks=(3, 16, 3, 3), concat: bool = True) -> List[Entry]:
     out = []
     for i, seq in enumerate((0, 2, 4)):
         out += _convbnact(
@@ -71,13 +71,14 @@ def _feature_extraction(num_blocks=(3, 16, 3, 3)) -> List[Entry]:
                 downsample=down,
             )
             blk += 1
-    # lastconv: Sequential(convbn, ReLU, Conv2d)
-    out += _convbnact(
-        "feature_extraction.lastconv.0", "feature_extraction/ConvBNAct_3", 2
-    )
-    out.append(
-        ("feature_extraction.lastconv.2.weight", "feature_extraction/Conv_0/kernel", "conv2d")
-    )
+    if concat:
+        # lastconv: Sequential(convbn, ReLU, Conv2d)
+        out += _convbnact(
+            "feature_extraction.lastconv.0", "feature_extraction/ConvBNAct_3", 2
+        )
+        out.append(
+            ("feature_extraction.lastconv.2.weight", "feature_extraction/Conv_0/kernel", "conv2d")
+        )
     return out
 
 
@@ -156,6 +157,36 @@ def _cva(torch_prefix: str, flax_prefix: str) -> List[Entry]:
 def _classifier(torch_prefix: str, flax_prefix: str) -> List[Entry]:
     out = _convbn(f"{torch_prefix}.0", f"{flax_prefix}/ConvBNAct_0/ConvBN_0", 3)
     out.append((f"{torch_prefix}.2.weight", f"{flax_prefix}/Conv_0/kernel", "conv3d"))
+    return out
+
+
+def _hourglass3d(tp: str, fp: str) -> List[Entry]:
+    """Plain GwcNet's two-level 3D hourglass (models/gwcnet.py:67-104 <->
+    nn/aggregation.py Hourglass3D)."""
+    out = []
+    for conv in ("conv1", "conv2", "conv3", "conv4"):
+        out += _convbn(f"{tp}.{conv}.0", f"{fp}/{conv}/ConvBN_0", 3)
+    for deconv in ("conv5", "conv6"):
+        out.append((f"{tp}.{deconv}.0.weight", f"{fp}/{deconv}/kernel", "deconv3d"))
+        out.append((f"{tp}.{deconv}.1", f"{fp}/{deconv}_bn/BatchNorm_0", "bn"))
+    out += _convbn(f"{tp}.redir1", f"{fp}/redir1", 3)
+    out += _convbn(f"{tp}.redir2", f"{fp}/redir2", 3)
+    return out
+
+
+def gwcnet_baseline_mapping(use_concat: bool = True) -> List[Entry]:
+    """Key table for the plain-GwcNet baseline (models/gwcnet.py:107-249 <->
+    models/dcanet.py GwcNetBaseline): feature extractor + dres0/1 + 3 stacked
+    Hourglass3D aggregators + 4 classif heads (no guidance/prop)."""
+    out = _feature_extraction(concat=use_concat)
+    out += _convbn("dres0.0", "ConvBNAct_0/ConvBN_0", 3)
+    out += _convbn("dres0.2", "ConvBNAct_1/ConvBN_0", 3)
+    out += _convbn("dres1.0", "ConvBNAct_2/ConvBN_0", 3)
+    out += _convbn("dres1.2", "ConvBN_0", 3)
+    for name in ("dres2", "dres3", "dres4"):
+        out += _hourglass3d(name, name)
+    for i in range(4):
+        out += _classifier(f"classif{i}", f"classif{i}")
     return out
 
 
