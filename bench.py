@@ -35,6 +35,60 @@ BASELINE_FILE = os.path.join(
 )
 
 
+def bench_train_step(dtype):
+    """Training throughput at the reference's SceneFlow configuration
+    (512x256 crop, main_dca.py:25-30; batch 2 fits one chip with headroom).
+    bf16 compute / f32 params+optimizer. Written to BENCH_TRAIN.json; the
+    headline JSON line below stays the eval metric."""
+    import optax
+
+    from dcanet_tpu.models import DCANet
+    from dcanet_tpu.train.loop import LossConfig, train_step
+    from dcanet_tpu.train.state import create_train_state
+    from dcanet_tpu.utils.profiling import device_time
+
+    b, h, w = 2, 256, 512
+    model = DCANet(maxdisp=MAXDISP, num_cva=3, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    kl, kr, kd, ki = jax.random.split(key, 4)
+    batch = {
+        "left": jax.random.normal(kl, (b, h, w, 3), jnp.float32),
+        "right": jax.random.normal(kr, (b, h, w, 3), jnp.float32),
+        "disparity": jax.random.uniform(kd, (b, h, w), jnp.float32, 1.0, MAXDISP - 2.0),
+    }
+    state = create_train_state(
+        model, ki, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+
+    # time the full step (fwd+bwd+adam) WITHOUT donation (device_time reuses
+    # the same state arg across iterations)
+    def step(state, batch):
+        new_state, metrics = train_step.__wrapped__(state, batch, cfg)
+        return metrics["total"]
+
+    t0 = time.perf_counter()
+    dt = device_time(step, state, batch, iters=6)
+    pairs = b / dt
+    print(
+        f"# train_step: {dt*1e3:.1f} ms @ batch {b} ({pairs:.2f} pairs/sec/chip, "
+        f"256x512, measure incl. compile: {time.perf_counter() - t0:.1f}s)",
+        flush=True,
+    )
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_TRAIN.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "metric": "dcanet_train_pairs_per_sec_256x512_b2",
+                "value": round(pairs, 4),
+                "unit": "pairs/sec/chip",
+                "step_ms": round(dt * 1e3, 2),
+            },
+            f,
+            indent=2,
+        )
+
+
 def main():
     from dcanet_tpu.models import DCANet
 
@@ -72,6 +126,9 @@ def main():
         flush=True,
     )
     pairs_per_sec = 1.0 / dt
+
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        bench_train_step(dtype)
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
