@@ -127,7 +127,10 @@ def main():
     )
     pairs_per_sec = 1.0 / dt
 
-    if os.environ.get("BENCH_TRAIN", "1") == "1":
+    # Train-step throughput is measured separately (BENCH_TRAIN=1 python
+    # bench.py): its first compile is ~10 min, too slow for the driver's
+    # per-round run. The measured number is pinned in BENCH_TRAIN.json.
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
         bench_train_step(dtype)
 
     vs_baseline = 1.0

@@ -95,6 +95,8 @@ def cmd_train(cfg):
     # 1-chip and pod-slice; XLA inserts the gradient psum over ICI. This is
     # the end-to-end replacement for the reference's nn.DataParallel wrap
     # (main_dca.py:53-55).
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     initialize()
     n_avail = len(jax.devices()) // cfg.n_disp_shards
     if cfg.n_data_shards is not None:
@@ -138,7 +140,7 @@ def cmd_train(cfg):
         sparse=cfg.sparse_gt,
         preset=cfg.loss_preset,
     )
-    logger = MetricLogger(cfg.logdir)
+    logger = MetricLogger(cfg.logdir, use_tensorboard=cfg.use_tensorboard)
     meters = AverageMeterDict()
 
     from jax.sharding import NamedSharding, PartitionSpec
@@ -184,6 +186,9 @@ def cmd_eval(cfg, ckpt_path=None):
     )
     from dcanet_tpu.utils import AverageMeterDict
 
+    from dcanet_tpu.utils import MetricLogger
+    from dcanet_tpu.utils.visualization import disp_error_image
+
     ds = _build_dataset(cfg, training=False)
     print(f"eval samples: {len(ds)}")
     model, state = _make_state(cfg, steps_per_epoch=1)
@@ -197,6 +202,7 @@ def cmd_eval(cfg, ckpt_path=None):
 
     meters = AverageMeterDict()
     confusion = None
+    logger = MetricLogger(cfg.logdir, use_tensorboard=cfg.use_tensorboard)
     for i in range(len(ds)):
         item = ds[i]
         left, pads = pad_to_multiple(item["left"], 16)
@@ -204,6 +210,17 @@ def cmd_eval(cfg, ckpt_path=None):
         out = fwd(left[None], right[None])
         disp = unpad(np.asarray(out.disparity[0]), pads)
         gt = item["disparity"]
+        if i < cfg.log_images:
+            # input / est / gt / KITTI error-map panel (the reference's
+            # save_images capability, utils/experiment.py:73-88)
+            hi = max(float(gt.max()), 1.0)
+            rgb = lambda g: np.repeat(np.clip(g / hi, 0, 1)[..., None], 3, -1)
+            raw = unpad(left, pads)
+            raw = (raw - raw.min()) / max(float(raw.max() - raw.min()), 1e-6)
+            panel = np.concatenate(
+                [raw, rgb(disp), rgb(gt), disp_error_image(disp, gt)], axis=0
+            )
+            logger.log_image(int(state.step), f"eval/sample{i}", panel)
         mask = (gt > 0) & (gt < cfg.maxdisp)
         # reference eval protocol: per-image metrics with the <10%-valid skip
         # (utils/metrics.py:22-41); skipped images contribute n=0.

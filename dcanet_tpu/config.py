@@ -44,6 +44,12 @@ class RunConfig:
     eval_every_epochs: int = 1
     print_freq: int = 20
     resume: bool = False
+    # qualitative eval dumps: save input/est/gt/error panels for the first N
+    # eval samples (0 = off); reference analog: utils/experiment.py save_images
+    log_images: int = 0
+    use_tensorboard: bool = False
+    # debug: enable jax_debug_nans (trap the first NaN-producing op)
+    debug_nans: bool = False
 
     # parallel
     n_disp_shards: int = 1

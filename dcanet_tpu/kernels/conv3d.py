@@ -190,117 +190,41 @@ def supports_conv3d_pallas(x_shape, w_shape) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# kd-fold formulation (the fast path, r2): one batched 2D conv + Pallas
-# epilogue.
+# kd-fold formulation (the fast path, r2): the 3x3x3 conv as TWO dense 2D
+# convs, both on XLA's well-tuned conv path.
 #
-# Measured on v5e at the bench shape (48, 96, 312, 32->32), bf16:
-#   native XLA conv3d      4.84 ms (16 TFLOPS)
-#   dslice (3x 2D convs)   3.45 ms (23 TFLOPS)   <- r1 fast path
-#   direct Pallas kernel   5.5  ms (14 TFLOPS)   <- Mosaic matmul ceiling
-#                                                   ~15-18 TFLOPS at these
-#                                                   K/N; a dead end
-#   conv2d k3 32->96 alone 0.92 ms (86 TFLOPS!)  <- D in batch, (kd,co) in
-#                                                   output channels
-# The 3x3x3 conv == conv2d(D-in-batch, C_out=3*co, kd-major) followed by
-# out[d] = sum_kd y[d+kd-1][kd-th channel block]. XLA executes those
-# D-shifted lane-sliced adds at only ~195 GB/s (1.9 ms); this Pallas epilogue
-# does them in one pass (plus optional fused bias/ReLU for the folded-BN eval
-# path). Replaces the hot loop of reference models/submodule.py:121-124.
+# Why: at the cost-volume channel widths the matmul N-dimension (= output
+# channels) decides the MXU rate. Measured on v5e at the bench shape
+# (48, 96, 312, 32->32), bf16:
+#   native XLA conv3d              4.84 ms (16 TFLOPS)
+#   dslice (3x 2D convs, r1 path)  3.45 ms (23 TFLOPS)
+#   direct Pallas kernel           5.5  ms (Mosaic matmul tops out at ~15-18
+#                                  TFLOPS at K,N<=288 on this toolchain — a
+#                                  measured dead end, kept above for the
+#                                  record)
+#   Pallas shifted-add epilogue    4.7  ms (XLA inserts 1.7 ms of layout
+#                                  copies around the pallas_call)
+#   THIS (two-conv kd-fold)        1.94 ms (41 TFLOPS), grad 5.9 ms vs
+#                                  native's 8.2 ms
+#
+# Step 1: conv2d with D folded into batch and kd into output channels
+#   (kd-major): (B*D, H, W, C) x (3, 3, C, 3co) -> 86 TFLOPS (the N=3co=96
+#   matmul lights up 3x more MXU columns than N=co=32).
+# Step 2: resolve the kd taps, out[d] = sum_kd y[d+kd-1][kd-th block], as a
+#   SECOND conv over the D axis (kernel (3,1), fixed 0/1 selection weights,
+#   (H*W) folded into the second spatial dim). One clean XLA op — the naive
+#   slice/concat/add expression costs 1.9-4.2 ms in bad fusions; this runs at
+#   the conv path's rate and XLA autodiffs the whole composition (no
+#   custom_vjp).
+#
+# Replaces the reference hot loop models/submodule.py:121-124 everywhere a
+# 3x3x3 conv3d appears (dres0/1, CVA internals, classif heads).
 # ---------------------------------------------------------------------------
 
-EPI_TH = 16  # epilogue rows per program
 
-
-def _kdfold_epilogue_kernel(y0, y1, y2, b_ref, out, *, co: int, nd: int, relu: bool):
-    # y*: (1, 1, TH, W, 3co) = y planes d-1, d, d+1 (index-clamped at edges)
-    # out: (1, 1, TH, W, co);  out[d] = y[d-1][blk0] + y[d][blk1] + y[d+1][blk2]
-    di = pl.program_id(1)
-    acc = y1[0, 0][..., co : 2 * co].astype(jnp.float32)
-    acc += jnp.where(di > 0, y0[0, 0][..., 0:co].astype(jnp.float32), 0.0)
-    acc += jnp.where(di < nd - 1, y2[0, 0][..., 2 * co : 3 * co].astype(jnp.float32), 0.0)
-    acc += b_ref[0].astype(jnp.float32)
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    out[0, 0] = acc.astype(out.dtype)
-
-
-def _kdfold_epilogue_pallas(y, bias, relu: bool):
-    b, d, h, wd, c3 = y.shape
-    co = c3 // 3
-    th = next((t for t in (16, 8, 4) if h % t == 0), None)
-    assert th is not None, h
-
-    plane = lambda kd: pl.BlockSpec(
-        (1, 1, th, wd, c3),
-        lambda bi, di, ti, kd=kd: (bi, jnp.clip(di + kd - 1, 0, d - 1), ti, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    return pl.pallas_call(
-        functools.partial(_kdfold_epilogue_kernel, co=co, nd=d, relu=relu),
-        grid=(b, d, h // th),
-        in_specs=[
-            plane(0),
-            plane(1),
-            plane(2),
-            pl.BlockSpec((1, co), lambda bi, di, ti: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, th, wd, co),
-            lambda bi, di, ti: (bi, di, ti, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, d, h, wd, co), y.dtype),
-        interpret=_INTERPRET,
-    )(y, y, y, bias.reshape(1, co))
-
-
-def _kdfold_epilogue_xla(y, bias, relu: bool):
-    """Reference/fallback formulation of the epilogue (same math)."""
-    co = y.shape[-1] // 3
-    z = jnp.zeros_like(y[:, :1, :, :, 0:co])
-    out = (
-        jnp.concatenate([z, y[:, :-1, :, :, 0:co]], axis=1)
-        + y[:, :, :, :, co : 2 * co]
-        + jnp.concatenate([y[:, 1:, :, :, 2 * co : 3 * co], z], axis=1)
-    )
-    out = out + bias.astype(out.dtype)
-    return jnp.maximum(out, 0.0) if relu else out
-
-
-@jax.custom_vjp
-def kdfold_epilogue(y):
-    """out[b,d,h,w,o] = sum_kd y[b, d+kd-1, h, w, kd*co + o] (zero at D edges).
-
-    Differentiable (training path): the backward is the mirrored D-shift
-    writing the three channel blocks, done in XLA.
-    """
-    return _kdfold_epilogue_pallas(y, jnp.zeros((y.shape[-1] // 3,), jnp.float32), False)
-
-
-def _epi_fwd(y):
-    return kdfold_epilogue(y), None
-
-
-def _epi_bwd(_, g):
-    # y[p, blk0] feeds out[p+1]; y[p, blk1] -> out[p]; y[p, blk2] -> out[p-1]
-    z = jnp.zeros_like(g[:, :1])
-    dy = jnp.concatenate(
-        [
-            jnp.concatenate([g[:, 1:], z], axis=1),
-            g,
-            jnp.concatenate([z, g[:, :-1]], axis=1),
-        ],
-        axis=-1,
-    )
-    return (dy,)
-
-
-kdfold_epilogue.defvjp(_epi_fwd, _epi_bwd)
-
-
-def _kdfold_conv2d(x, w, scale=None):
-    """The matmul part: (B,D,H,W,C) x (3,3,3,C,Co) -> (B,D,H,W,3Co) via one
-    2D conv with D folded into batch and kd into output channels (kd-major).
+def _kdfold_conv2d(x, w, scale=None, hw_strides=(1, 1)):
+    """Step 1: (B,D,H,W,C) x (3,3,3,C,Co) -> (B,D,H',W',3Co) via one 2D conv
+    with D folded into batch and kd into output channels (kd-major).
     `scale` (per-out-channel, e.g. folded eval-BN) multiplies the weights."""
     b, d, h, wd, c = x.shape
     co = w.shape[4]
@@ -308,31 +232,67 @@ def _kdfold_conv2d(x, w, scale=None):
     if scale is not None:
         w2 = w2 * jnp.tile(scale.astype(w2.dtype), 3)
     y = jax.lax.conv_general_dilated(
-        x.reshape(b * d, h, wd, c), w2, (1, 1), [(1, 1)] * 2,
+        x.reshape(b * d, h, wd, c), w2, hw_strides, [(1, 1)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y.reshape(b, d, h, wd, 3 * co)
+    return y.reshape(b, d, y.shape[1], y.shape[2], 3 * co)
 
 
-def supports_kdfold(x_shape, w_shape) -> bool:
+@functools.lru_cache(maxsize=None)
+def _kd_select_np(co: int):
+    """(3, 1, 3co, co) 0/1 kernel: S[kd, 0, kd*co + o, o] = 1. Cached as
+    NUMPY — caching a jnp constant would leak trace-bound tracers under
+    scan/jit re-entry."""
+    import numpy as np
+
+    s = np.zeros((3, 1, 3 * co, co), np.float32)
+    idx = np.arange(co)
+    for kd in range(3):
+        s[kd, 0, kd * co + idx, idx] = 1.0
+    return s
+
+
+def _kd_select_kernel(co: int, dtype):
+    return jnp.asarray(_kd_select_np(co), dtype)
+
+
+def _kd_select(y, co: int, d_stride: int = 1):
+    """Step 2: out[b,d,h,w,o] = sum_kd y[b, d*stride + kd - 1, h, w, kd*co+o]
+    (zero-padded at the D edges) as a (3,1)-kernel conv over (D, H*W)."""
+    b, d, h, wd, c3 = y.shape
+    sel = _kd_select_kernel(co, y.dtype)
+    out = jax.lax.conv_general_dilated(
+        y.reshape(b, d, h * wd, c3), sel, (d_stride, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(b, out.shape[1], h, wd, co)
+
+
+def supports_kdfold(x_shape, w_shape, strides=(1, 1, 1)) -> bool:
     if len(w_shape) != 5 or w_shape[:3] != (3, 3, 3):
         return False
-    b, d, h, wd, c = x_shape
+    if strides not in ((1, 1, 1), (2, 2, 2)):
+        return False
     co = w_shape[4]
-    return co % 8 == 0 and any(h % t == 0 for t in (16, 8, 4)) and d >= 2
+    return co % 8 == 0 and x_shape[1] >= 2
 
 
-def conv3d_kdfold(x, w):
-    """Differentiable fast 3x3x3 stride-1 SAME conv (training + eval).
-    ~1.8x over the r1 dslice path at the bench shape."""
-    return kdfold_epilogue(_kdfold_conv2d(x, w))
+def conv3d_kdfold(x, w, strides=(1, 1, 1)):
+    """Fast 3x3x3 SAME conv (stride 1 or 2), differentiable end-to-end.
+    1.78x over the r1 dslice path at the bench shape; the backward (two conv
+    transposes on the same fast path) measures 1.4x over native conv3d's."""
+    co = w.shape[4]
+    y = _kdfold_conv2d(x, w, hw_strides=strides[1:])
+    return _kd_select(y, co, d_stride=strides[0])
 
 
 def conv3d_kdfold_fused(x, w, scale, bias, relu: bool = False):
-    """Eval-only fused variant: folded-BN scale into the conv weights, bias +
-    ReLU fused into the epilogue write. NOT differentiable (inference path)."""
+    """Eval variant with folded-BN scale baked into the step-1 weights and
+    bias+ReLU fused behind the selection conv by XLA."""
+    co = w.shape[4]
     y = _kdfold_conv2d(x, w, scale=scale)
-    return _kdfold_epilogue_pallas(y, bias.astype(jnp.float32), relu)
+    out = _kd_select(y, co) + bias.astype(x.dtype)
+    return jnp.maximum(out, 0.0) if relu else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

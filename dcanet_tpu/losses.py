@@ -148,3 +148,75 @@ def focal_loss_ladder(
             vol, disp_gt, max_disp, focal_coefficient, sparse
         )
     return total
+
+
+# ---------------------------------------------------------------------------
+# GANet's custom robust losses (reference models/libs/GANet/functions/
+# GANet.py:264-310). Their defining property is a hand-written backward that
+# does NOT match the forward's analytic gradient (a graduated gradient-scale
+# schedule); reproduced here with jax.custom_vjp, including the reference's
+# sequential-masking quirks:
+#   * MyLoss2Function.backward first maps |d| > thresh+alpha to 1, and the
+#     follow-up [thresh, thresh+alpha] window test is applied to the ALREADY
+#     REWRITTEN value (with the default thresh=1 those 1s land inside the
+#     window and become 2).
+#   * MyLossFunction.backward omits the 1/N of the forward's mean (the grad
+#     is N x the analytic scale).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def ganet_loss(pred: jnp.ndarray, target: jnp.ndarray, upper: float = 5.0, lower: float = 1.0):
+    """MyLossFunction: forward = mean |pred - target|."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def _ganet_loss_fwd(pred, target, upper, lower):
+    return ganet_loss(pred, target, upper, lower), (pred - target, upper, lower)
+
+
+def _ganet_loss_bwd(res, g):
+    diff, upper, lower = res
+    s = jnp.abs(diff)
+    s = jnp.where(s > upper, 1.0, s)
+    tag = (s <= upper) & (s >= lower)
+    s = jnp.where(tag, 2.0 - jnp.abs(s - (upper + lower) / 2.0) / 2.0, s)
+    d = jnp.sign(diff) * s * g
+    return d.astype(diff.dtype), (-d).astype(diff.dtype), None, None
+
+
+ganet_loss.defvjp(_ganet_loss_fwd, _ganet_loss_bwd)
+
+
+@jax.custom_vjp
+def ganet_loss2(pred: jnp.ndarray, target: jnp.ndarray, thresh: float = 1.0, alpha: float = 2.0):
+    """MyLoss2Function: piecewise quadratic/linear robust loss. The three
+    rewrites are SEQUENTIAL on the mutated buffer (reference semantics): the
+    final `+ alpha/2` step also hits mid-branch outputs that exceed
+    thresh+alpha."""
+    t = jnp.abs(pred - target)
+    s = jnp.where(t < thresh, t * t / thresh, t)
+    tag = (s <= thresh + alpha) & (s >= thresh)
+    s = jnp.where(tag, s * 2.0 - (s - thresh) ** 2 / (2.0 * alpha) - thresh, s)
+    s = jnp.where(s > thresh + alpha, s + alpha / 2.0, s)
+    return jnp.mean(s)
+
+
+def _ganet_loss2_fwd(pred, target, thresh, alpha):
+    return ganet_loss2(pred, target, thresh, alpha), (pred - target, thresh, alpha)
+
+
+def _ganet_loss2_bwd(res, g):
+    diff, thresh, alpha = res
+    s = jnp.abs(diff)
+    # sequential rewrites, matching the reference's in-place masking order
+    s = jnp.where(s > thresh + alpha, 1.0, s)
+    tag = (s <= thresh + alpha) & (s >= thresh)
+    s = jnp.where(tag, 2.0 - (s - thresh) / alpha, s)
+    tag2 = s < thresh
+    s = jnp.where(tag2, 2.0 * s / thresh, s)
+    d = jnp.sign(diff) * s * g / diff.size
+    return d.astype(diff.dtype), (-d).astype(diff.dtype), None, None
+
+
+ganet_loss2.defvjp(_ganet_loss2_fwd, _ganet_loss2_bwd)

@@ -46,15 +46,16 @@ def _tuple(v, n):
 
 
 class Conv(nn.Conv):
-    """nn.Conv with a TPU fast path for 3x3x3 stride-1 3D convs.
+    """nn.Conv with a TPU fast path for 3x3x3 3D convs.
 
     XLA's native Conv3D at the cost-volume channel widths (C=32) runs at
     ~16 TFLOPS on v5e (~8% of MXU peak; measured, tools/bench_conv3d.py).
-    Re-expressing the D-axis taps as three 2D convs with D folded into the
-    batch ("dslice") measures 1.4x faster in bf16 and lets XLA use its
-    well-tuned 2D conv path. Same class name as nn.Conv so flax param paths
-    ("Conv_N/kernel") — and therefore the torch-checkpoint mapping — are
-    unchanged.
+    The kd-fold formulation (kernels/conv3d.py: one 2D conv with D in batch
+    and kd folded into output channels, then a fixed selection conv over D)
+    measures 1.94 ms vs dslice's 3.45 ms / native's 4.84 ms at the bench
+    shape — 41 TFLOPS, fully XLA-differentiable. Same class name as nn.Conv
+    so flax param paths ("Conv_N/kernel") — and therefore the
+    torch-checkpoint mapping — are unchanged.
     """
 
     @nn.compact
@@ -96,13 +97,15 @@ class Conv(nn.Conv):
             and all(s == 1 for s in strides)
             and (isinstance(padding, str) or all(p == (0, 0) for p in padding))
         )
+        from dcanet_tpu.kernels.conv3d import conv3d_kdfold, supports_kdfold
+
         fast = (
             ks == (3, 3, 3)
-            and strides == (1, 1, 1)  # a stride-2 dslice measured 2x slower
             and dilation == (1, 1, 1)
             and padding == ((1, 1), (1, 1), (1, 1))
-            and x.dtype == jnp.bfloat16  # dslice loses to native conv3d at f32
+            and x.dtype == jnp.bfloat16  # kd-fold loses to native conv3d at f32
             and on_tpu
+            and supports_kdfold(x.shape, kernel_shape, strides)
         )
         if pointwise and on_tpu:
             # 1x1xx1 conv == matmul over a flattened spatial dim; XLA's
@@ -114,18 +117,7 @@ class Conv(nn.Conv):
                 precision=self.precision,
             )
         elif fast:
-            b, d, h, wd, c = x.shape
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-            y = None
-            for kd in range(3):
-                xs = xp[:, kd : kd + d].reshape(b * d, h, wd, c)
-                part = jax.lax.conv_general_dilated(
-                    xs, kernel[kd], (1, 1), [(1, 1)] * 2,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    precision=self.precision,
-                )
-                y = part if y is None else y + part
-            y = y.reshape(b, d, h, wd, self.features)
+            y = conv3d_kdfold(x, kernel, strides=strides)
         else:
             dn = {
                 1: ("NWC", "WIO", "NWC"),

@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from dcanet_tpu import losses
 from dcanet_tpu.train.metrics import eval_metrics
@@ -102,6 +103,9 @@ def train_step(
     )
     new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
     metrics = dict(comps)
+    # grad-norm scalar: the debug/observability hook the reference lacks
+    # (SURVEY §5 race-detection row); pairs with config.debug_nans.
+    metrics["grad_norm"] = optax.global_norm(grads)
     metrics["epe"] = jnp.sum(jnp.abs(disp_est - disp_gt) * mask) / jnp.maximum(
         jnp.sum(mask), 1.0
     )

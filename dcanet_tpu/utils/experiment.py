@@ -67,6 +67,27 @@ class MetricLogger:
             except Exception:
                 self._tb = None
 
+    def log_image(self, step: int, tag: str, image) -> str:
+        """Write an (H, W, 3) float [0,1] or uint8 image panel as a PNG under
+        logdir/images (and to TensorBoard when enabled). Replaces the
+        reference's save_images/make_grid TB helper
+        (utils/experiment.py:73-88), which was never wired into a committed
+        script. Returns the written path."""
+        import numpy as np
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        imgdir = os.path.join(self.logdir, "images")
+        os.makedirs(imgdir, exist_ok=True)
+        path = os.path.join(imgdir, f"{tag.replace('/', '_')}_{step:08d}.png")
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+        if self._tb is not None:
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
+        return path
+
     def log(self, step: int, scalars: Dict[str, float], prefix: str = ""):
         row = {"step": step, "time": time.time()}
         for k, v in scalars.items():

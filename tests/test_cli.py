@@ -51,10 +51,16 @@ def test_cli_train_eval_infer(tmp_path):
     try:
         cfg.save_after_epoch = 0
         cfg.print_freq = 1
+        cfg.log_images = 1
         cli.cmd_train(cfg)
         assert os.path.exists(tmp_path / "run" / "ckpt")
         results = cli.cmd_eval(cfg)
         assert np.isfinite(results["epe"])
+        import glob
+
+        assert glob.glob(str(tmp_path / "run" / "images" / "*.png")), (
+            "eval image panels should be written when log_images > 0"
+        )
         out_png = tmp_path / "disp.png"
         cli.cmd_infer(
             cfg,

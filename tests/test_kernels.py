@@ -63,6 +63,20 @@ def test_kdfold_conv3d_matches_xla(rng):
         K._INTERPRET = False
 
 
+def test_kdfold_stride2_matches_xla(rng):
+    import dcanet_tpu.kernels.conv3d as K
+
+    b, d, h, w, c, co = 1, 6, 8, 12, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, c), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, c, co), dtype=np.float32)) * 0.2
+    want = jax.lax.conv_general_dilated(
+        x, wt, (2, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = K.conv3d_kdfold(x, wt, strides=(2, 2, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_kdfold_grad_matches_xla(rng):
     """custom_vjp of the kd-fold epilogue vs autodiff of the native conv."""
     import dcanet_tpu.kernels.conv3d as K

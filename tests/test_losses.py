@@ -78,3 +78,56 @@ def test_model_loss_matches_torch(rng):
         )
         want += w * t.item()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ganet_custom_losses_forward_and_custom_grad():
+    """ganet_loss/ganet_loss2 vs a direct numpy transcription of the
+    reference's forward + hand-written backward (models/libs/GANet/functions/
+    GANet.py:264-310), incl. its sequential-masking quirks."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 6)).astype(np.float32) * 4
+    b = rng.standard_normal((4, 6)).astype(np.float32) * 4
+    diff = a - b
+    g = 1.0
+
+    from dcanet_tpu.losses import ganet_loss, ganet_loss2
+
+    # --- MyLossFunction (upper 5, lower 1) ---
+    want_fwd = np.mean(np.abs(diff))
+    scale = np.abs(diff).copy()
+    scale[scale > 5.0] = 1.0
+    tag = (scale <= 5.0) & (scale >= 1.0)
+    scale[tag] = 2.0 - np.abs(scale[tag] - 3.0) / 2.0
+    want_grad = np.sign(diff) * scale * g  # NB: no 1/N (reference quirk)
+
+    got_fwd, got_grads = jax.value_and_grad(
+        lambda x, y: ganet_loss(jnp.asarray(x), jnp.asarray(y)), argnums=(0, 1)
+    )(a, b)
+    np.testing.assert_allclose(float(got_fwd), want_fwd, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_grads[0]), want_grad, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_grads[1]), -want_grad, rtol=1e-5)
+
+    # --- MyLoss2Function (thresh 1, alpha 2) ---
+    t = np.abs(diff).copy()
+    lo = t < 1.0
+    t[lo] = t[lo] ** 2 / 1.0
+    tag = (t <= 3.0) & (t >= 1.0)
+    t[tag] = t[tag] * 2 - (t[tag] - 1.0) ** 2 / 4.0 - 1.0
+    t[t > 3.0] += 1.0
+    want_fwd2 = np.mean(t)
+
+    s = np.abs(diff).copy()
+    s[s > 3.0] = 1.0
+    tag = (s <= 3.0) & (s >= 1.0)
+    s[tag] = 2.0 - (s[tag] - 1.0) / 2.0
+    tag = s < 1.0
+    s[tag] = 2.0 * s[tag] / 1.0
+    want_grad2 = np.sign(diff) * s * g / diff.size
+
+    got_fwd2, got_grads2 = jax.value_and_grad(
+        lambda x, y: ganet_loss2(jnp.asarray(x), jnp.asarray(y)), argnums=(0, 1)
+    )(a, b)
+    np.testing.assert_allclose(float(got_fwd2), want_fwd2, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_grads2[0]), want_grad2, rtol=1e-5)

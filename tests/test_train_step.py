@@ -47,6 +47,34 @@ def test_train_step_decreases_loss():
 
 
 @pytest.mark.slow
+def test_bf16_training_tracks_f32():
+    """bf16-compute training (f32 params/optimizer, the TPU production
+    configuration) must track the f32 loss curve over synthetic steps —
+    the acceptance check for running the train bench in bf16."""
+    key = jax.random.PRNGKey(3)
+    batch = _batch(key)
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+
+    curves = {}
+    for name, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = DCANet(maxdisp=MAXDISP, num_cva=1, dtype=dtype)
+        state = create_train_state(
+            model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+        )
+        losses = []
+        for _ in range(20):
+            state, metrics = train_step(state, batch, cfg)
+            losses.append(float(metrics["total"]))
+        curves[name] = np.asarray(losses)
+
+    assert np.isfinite(curves["bf16"]).all()
+    assert curves["bf16"][-1] < curves["bf16"][0]
+    # mean relative gap between the curves stays small
+    rel = np.abs(curves["bf16"] - curves["f32"]) / np.abs(curves["f32"])
+    assert rel.mean() < 0.05, (rel.mean(), curves)
+
+
+@pytest.mark.slow
 def test_batch_stats_update():
     model = DCANet(maxdisp=MAXDISP, num_cva=0)
     key = jax.random.PRNGKey(1)
