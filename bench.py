@@ -62,13 +62,17 @@ def bench_train_step(dtype):
     cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
 
     # time the full step (fwd+bwd+adam) WITHOUT donation (device_time reuses
-    # the same state arg across iterations)
-    def step(state, batch):
-        new_state, metrics = train_step.__wrapped__(state, batch, cfg)
+    # the same args across iterations; salt chains through `left`)
+    def step(left, right, disparity):
+        _, metrics = train_step.__wrapped__(
+            state, {"left": left, "right": right, "disparity": disparity}, cfg
+        )
         return metrics["total"]
 
     t0 = time.perf_counter()
-    dt = device_time(step, state, batch, iters=6)
+    dt = device_time(
+        step, batch["left"], batch["right"], batch["disparity"], iters=6
+    )
     pairs = b / dt
     print(
         f"# train_step: {dt*1e3:.1f} ms @ batch {b} ({pairs:.2f} pairs/sec/chip, "

@@ -387,6 +387,23 @@ class AvgPool3dTorch(nn.Module):
     @nn.compact
     def __call__(self, x):
         k, s, p = self.kernel, self.strides, self.padding
+        if (
+            (k, s, p) == (3, 2, 1)
+            and jax.default_backend() == "tpu"
+            and x.dtype == jnp.bfloat16
+            and x.shape[-1] % 8 == 0
+            and x.shape[1] >= 2
+        ):
+            # avgpool(3, s2, p1, count_include_pad) == conv3d with constant
+            # identity/27 weights; the kd-fold conv path (~40 TFLOPS) beats
+            # reduce_window (measured 1.03 ms vs ~0.25 ms at the bench
+            # shape). Zero-padding == count_include_pad=True exactly.
+            from dcanet_tpu.kernels.conv3d import conv3d_kdfold
+
+            c = x.shape[-1]
+            eye = jnp.eye(c, dtype=x.dtype) / 27.0
+            w = jnp.broadcast_to(eye, (3, 3, 3, c, c))
+            return conv3d_kdfold(x, w, strides=(2, 2, 2))
         # (a separable 3-pass variant measured 2x SLOWER than this monolithic
         # reduce_window on v5e — XLA already fuses the window well here)
         window = (1, k, k, k, 1)

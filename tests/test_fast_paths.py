@@ -46,8 +46,8 @@ def test_pointwise_conv_matches(rng, fake_tpu):
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("strides", [(1, 1, 1)])
-def test_dslice_conv3d_matches(rng, fake_tpu, strides):
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2)])
+def test_kdfold_conv3d_fastpath_matches(rng, fake_tpu, strides):
     x = jnp.asarray(rng.standard_normal((1, 7, 10, 12, 8)), jnp.bfloat16)
     y, k = _run_conv(x, 8, (3, 3, 3), strides, ((1, 1),) * 3, True, dtype=jnp.bfloat16)
     want = _conv_ref(x, k, strides, ((1, 1),) * 3)
@@ -57,16 +57,32 @@ def test_dslice_conv3d_matches(rng, fake_tpu, strides):
     )
 
 
+def _avgpool_ref(x):
+    # monolithic torch-equivalent reference (count_include_pad=True)
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+    )
+    return summed / 27.0
+
+
 def test_separable_avgpool_matches(rng, fake_tpu):
     x = jnp.asarray(rng.standard_normal((2, 7, 9, 11, 4)), jnp.float32)
     pool = L.AvgPool3dTorch()
     v = pool.init(jax.random.PRNGKey(0), x)
     got = pool.apply(v, x)
-
-    # monolithic torch-equivalent reference (count_include_pad=True)
-    summed = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 3, 1), (1, 2, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_avgpool_ref(x)), rtol=1e-5, atol=1e-6
     )
-    want = summed / 27.0
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_avgpool_kdfold_path_matches(rng, fake_tpu):
+    """bf16 + C%8==0 routes avgpool through the kd-fold conv formulation."""
+    x = jnp.asarray(rng.standard_normal((1, 6, 9, 11, 8)), jnp.bfloat16)
+    pool = L.AvgPool3dTorch()
+    v = pool.init(jax.random.PRNGKey(0), x)
+    got = pool.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(_avgpool_ref(x)),
+        rtol=0.05, atol=0.02,
+    )
