@@ -245,6 +245,49 @@ def cmd_eval(cfg, ckpt_path=None):
     return results
 
 
+def cmd_infer_list(cfg, data_path, list_path, save_path):
+    """Batch-submission loop over a KITTI test list (my_img.py:113-131
+    parity): each line names a file under image_2/ and image_3/; builds the
+    model once, writes uint16 PNGs x256 under save_path, prints per-image and
+    total wall time. The fixed 384x1248 transform keeps ONE compiled shape."""
+    import os
+
+    from dcanet_tpu.data.io import read_image, write_kitti_submission_png
+    from dcanet_tpu.data.submission import (
+        from_submission_shape,
+        to_submission_shape,
+        whiten_per_channel,
+    )
+    from dcanet_tpu.train.checkpoint import CheckpointManager
+
+    with open(list_path) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    os.makedirs(save_path, exist_ok=True)
+
+    model, state = _make_state(cfg, steps_per_epoch=1)
+    ckpt = CheckpointManager(cfg.logdir + "/ckpt")
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False).disparity)
+
+    t0 = time.time()
+    for name in names:
+        lp, orig_hw = to_submission_shape(
+            whiten_per_channel(read_image(os.path.join(data_path, "image_2", name)))
+        )
+        rp, _ = to_submission_shape(
+            whiten_per_channel(read_image(os.path.join(data_path, "image_3", name)))
+        )
+        t1 = time.time()
+        disp = np.asarray(fwd(lp[None].astype(np.float32), rp[None].astype(np.float32)))[0]
+        print(f"{name}: {time.time() - t1:.4f} s")
+        write_kitti_submission_png(
+            os.path.join(save_path, name), from_submission_shape(disp, orig_hw)
+        )
+    print(f"full inference time = {time.time() - t0:.2f} seconds")
+
+
 def cmd_infer(cfg, left_path, right_path, out_path, submission: bool = False):
     """Single-pair inference -> uint16 PNG x256.
 
@@ -335,13 +378,19 @@ def main(argv=None):
     sp_eval.add_argument("--ckpt", default=None)
     sp_infer = sub.add_parser("infer")
     add_common(sp_infer)
-    sp_infer.add_argument("--left", required=True)
-    sp_infer.add_argument("--right", required=True)
-    sp_infer.add_argument("--out", required=True)
+    sp_infer.add_argument("--left")
+    sp_infer.add_argument("--right")
+    sp_infer.add_argument("--out")
     sp_infer.add_argument(
         "--submission", action="store_true",
         help="my_img.py protocol: per-channel whitening + 384x1248 pad/crop",
     )
+    sp_infer.add_argument(
+        "--list", dest="test_list",
+        help="KITTI test list file: one image name per line, read from "
+        "<data-root>/image_{2,3}/<name>, written to --save-path (my_img.py)",
+    )
+    sp_infer.add_argument("--save-path", default="./submission")
     sp_export = sub.add_parser("export")
     add_common(sp_export)
     sp_export.add_argument("--out", required=True)
@@ -350,7 +399,10 @@ def main(argv=None):
     overrides = {
         k.replace("-", "_"): v
         for k, v in vars(args).items()
-        if k not in ("cmd", "preset", "ckpt", "left", "right", "out") and v is not None
+        if k not in (
+            "cmd", "preset", "ckpt", "left", "right", "out", "submission",
+            "test_list", "save_path",
+        ) and v is not None
     }
     cfg = preset(args.preset, **overrides)
 
@@ -359,7 +411,11 @@ def main(argv=None):
     elif args.cmd == "eval":
         cmd_eval(cfg, args.ckpt)
     elif args.cmd == "infer":
-        cmd_infer(cfg, args.left, args.right, args.out)
+        if args.test_list:
+            cmd_infer_list(cfg, cfg.data_root, args.test_list, args.save_path)
+        else:
+            assert args.left and args.right and args.out, "--left/--right/--out or --list"
+            cmd_infer(cfg, args.left, args.right, args.out, submission=args.submission)
     elif args.cmd == "export":
         cmd_export(cfg, args.out)
 

@@ -74,6 +74,30 @@ def test_cli_train_eval_infer(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_infer_list_submission(tmp_path):
+    """my_img.py batch loop parity: list file -> uint16 PNGs under save_path."""
+    from dcanet_tpu import cli
+    from dcanet_tpu.config import preset
+    from dcanet_tpu.data.io import read_disparity
+
+    root = tmp_path / "kitti"
+    root.mkdir()
+    _make_kitti_tree(root, n=2, h=96, w=160)
+    lst = tmp_path / "test.txt"
+    lst.write_text("000000_10.png\n000001_10.png\n")
+
+    cfg = preset(
+        "kitti", data_root=str(root), maxdisp=32,
+        logdir=str(tmp_path / "run"), model="dcanet-cva0",
+    )
+    cli.cmd_infer_list(cfg, str(root), str(lst), str(tmp_path / "sub"))
+    for name in ("000000_10.png", "000001_10.png"):
+        d = read_disparity(tmp_path / "sub" / name)
+        assert d.shape == (96, 160)
+        assert np.isfinite(d).all()
+
+
+@pytest.mark.slow
 def test_cli_train_multichip_matches_single_device(tmp_path, capsys):
     """cmd_train on the 8-device CPU mesh: the batch is sharded over the full
     data axis and the first-step loss matches a single-device run bit-for-bit
