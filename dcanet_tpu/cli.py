@@ -155,12 +155,17 @@ def cmd_train(cfg):
         for epoch in range(start_epoch, cfg.epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
+            pending = []  # device-side metric dicts; fetched only at print
+            # time so per-step host syncs don't stall the dispatch pipeline
             for bi, batch in enumerate(
                 device_prefetch(loader, sharding=data_sharding)
             ):
                 state, metrics = train_step(state, batch, loss_cfg)
-                meters.update({k: float(v) for k, v in metrics.items()})
+                pending.append(metrics)
                 if (bi + 1) % cfg.print_freq == 0:
+                    for p in pending:
+                        meters.update({k: float(v) for k, v in p.items()})
+                    pending = []
                     m = meters.mean()
                     rate = cfg.batch_size * (bi + 1) / (time.time() - t0)
                     print(
@@ -170,6 +175,8 @@ def cmd_train(cfg):
                     )
                     logger.log(int(state.step), m, prefix="train/")
                     meters.reset()
+            for p in pending:
+                meters.update({k: float(v) for k, v in p.items()})
             if epoch >= cfg.save_after_epoch and (epoch + 1) % cfg.save_every_epochs == 0:
                 ckpt.save(state)
     ckpt.wait()

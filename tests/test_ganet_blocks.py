@@ -74,3 +74,26 @@ def test_lga_block(rng):
     out, _ = m.apply(v, cost, gf, True, mutable=["batch_stats"])
     assert out.shape == cost.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_ganet_eval_init_tree_matches_train_init():
+    """ADVICE r1: aux classif_sga heads must exist in BOTH train- and
+    eval-initialized variable trees (an eval-initialized checkpoint must be
+    trainable)."""
+    import jax
+
+    from dcanet_tpu.models.ganet import GANetStereo
+
+    maxdisp, h, w = 16, 16, 32
+    model = GANetStereo(maxdisp=maxdisp, num_sga=2)
+    left = jnp.zeros((1, h, w, 3), jnp.float32)
+    v_train = model.init(KEY, left, left, train=True)
+    v_eval = model.init(KEY, left, left, train=False)
+
+    paths_t = set(jax.tree_util.tree_flatten_with_path(v_train["params"])[0][i][0]
+                  for i in range(len(jax.tree.leaves(v_train["params"]))))
+    paths_e = set(jax.tree_util.tree_flatten_with_path(v_eval["params"])[0][i][0]
+                  for i in range(len(jax.tree.leaves(v_eval["params"]))))
+    assert paths_t == paths_e
+    assert any("classif_sga0" in str(p) for p in paths_e)
