@@ -206,15 +206,20 @@ class StereoDataset:
         self.preset = preset
         self.cfg = PRESETS[preset]
         self.half_res = half_res
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.samples)
 
     def reseed(self, seed: int):
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        # Per-sample generator derived from (epoch seed, index): augmentation
+        # is deterministic regardless of decode-thread scheduling. (A single
+        # shared Generator raced across the loader's thread pool, making
+        # augmented batches — and training — non-reproducible.)
+        rng = np.random.default_rng((self.seed, index))
         s = self.samples[index]
         left = read_image(s.left)
         right = read_image(s.right)
@@ -231,12 +236,12 @@ class StereoDataset:
 
         if self.training:
             if self.cfg["photometric"]:
-                left, right = A.photometric_pair(left, right, self.rng)
+                left, right = A.photometric_pair(left, right, rng)
             left, right, disp = A.random_crop(
-                left, right, disp, self.cfg["crop"], self.rng
+                left, right, disp, self.cfg["crop"], rng
             )
             if self.cfg["occlusion"]:
-                right = A.occlusion_patch(right, self.rng)
+                right = A.occlusion_patch(right, rng)
 
         return {
             "left": normalize_imagenet(left).astype(np.float32),
