@@ -17,29 +17,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _upsample2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Exact half-pixel 2x linear upsampling along one axis:
-    out[2i] = 0.25 x[i-1] + 0.75 x[i]; out[2i+1] = 0.75 x[i] + 0.25 x[i+1]
-    (edges clamped) — the closed form of align_corners=False linear resize at
-    scale 2. Pure shifts/muls/interleave: keeps the channel-minor layout,
-    where jax.image.resize's gather-matrix dot_generals made XLA materialize
-    fully-transposed copies of the CVA volumes (HLO: copy{0,1,2,3} feeding
-    jit(_resize)/dot_general, ~1 ms each at the bench shape)."""
-    n = x.shape[axis]
-    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
-    prev = jnp.concatenate([first, jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
-    nxt = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis), last], axis=axis)
-    lo = 0.75 * x + 0.25 * prev
-    hi = 0.75 * x + 0.25 * nxt
-    out = jnp.stack([lo, hi], axis=axis + 1)
-    return out.reshape(x.shape[:axis] + (2 * n,) + x.shape[axis + 1 :]).astype(x.dtype)
-
-
 def resize_trilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Trilinear (half-pixel) upsampling of the (D, H, W) axes by `scale`.
 
     x: (B, D, H, W) or (B, D, H, W, C).
+
+    Perf note (v5e, measured): jax.image.resize's per-axis gather-matrix
+    dot_generals run at 0.25 ms for the CVA 2x (24,48,156,32) case; an
+    explicit separable shift/interleave closed form measured 4x SLOWER (the
+    W-axis interleave relayout dominates) and regressed the full model
+    77 -> 83 ms — keep the gather-matrix form.
     """
     if x.ndim == 4:
         b, d, h, w = x.shape
@@ -49,13 +36,6 @@ def resize_trilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
         shape = (b, d * scale, h * scale, w * scale, c)
     else:
         raise ValueError(f"expected rank 4/5, got {x.shape}")
-    if scale == 2:
-        # separable closed form (bit-equal to jax.image.resize trilinear at
-        # scale 2, tests/test_upsample.py); NB 2x-of-2x != one 4x under
-        # half-pixel sampling, so only scale 2 takes this path.
-        for axis in (1, 2, 3):
-            x = _upsample2x_axis(x, axis)
-        return x
     return jax.image.resize(x, shape, method="trilinear")
 
 

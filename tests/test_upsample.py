@@ -94,17 +94,3 @@ def test_disparity_regression(rng):
     got2 = np.asarray(disparity_regression(jnp.asarray(p), 8))
     np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-5)
 
-
-def test_resize2x_closed_form_matches_jax_image(rng):
-    """The separable interleave fast path == jax.image.resize trilinear."""
-    import jax
-
-    x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 3), dtype=np.float32))
-    got = resize_trilinear(x, 2)
-    want = jax.image.resize(x, (2, 10, 12, 14, 3), method="trilinear")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
-
-    x4 = jnp.asarray(rng.standard_normal((1, 4, 5, 6), dtype=np.float32))
-    got4 = resize_trilinear(x4, 2)
-    want4 = jax.image.resize(x4, (1, 8, 10, 12), method="trilinear")
-    np.testing.assert_allclose(np.asarray(got4), np.asarray(want4), rtol=1e-5, atol=1e-6)
