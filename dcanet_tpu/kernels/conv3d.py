@@ -280,9 +280,24 @@ def supports_kdfold(x_shape, w_shape, strides=(1, 1, 1)) -> bool:
 def conv3d_kdfold(x, w, strides=(1, 1, 1)):
     """Fast 3x3x3 SAME conv (stride 1 or 2), differentiable end-to-end.
     1.78x over the r1 dslice path at the bench shape; the backward (two conv
-    transposes on the same fast path) measures 1.4x over native conv3d's."""
+    transposes on the same fast path) measures 1.4x over native conv3d's.
+
+    `x` may be a tuple of (B,D,H,W,Ci) parts meaning their channel concat:
+    conv distributes over input-channel concatenation, so each part gets its
+    kernel slice and the step-1 outputs are summed — the explicit channel
+    concat of cost volumes measured 1.6-3.2 ms each in bad XLA fusions."""
     co = w.shape[4]
-    y = _kdfold_conv2d(x, w, hw_strides=strides[1:])
+    if isinstance(x, (tuple, list)):
+        y = None
+        off = 0
+        for part in x:
+            ci = part.shape[-1]
+            yp = _kdfold_conv2d(part, w[:, :, :, off : off + ci], hw_strides=strides[1:])
+            y = yp if y is None else y + yp
+            off += ci
+        assert off == w.shape[3], (off, w.shape)
+    else:
+        y = _kdfold_conv2d(x, w, hw_strides=strides[1:])
     return _kd_select(y, co, d_stride=strides[0])
 
 

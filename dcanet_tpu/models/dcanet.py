@@ -145,13 +145,15 @@ class DCANet(nn.Module):
         guidance = Guidance(64, dtype=self.dtype, name="guidance")(left, train)["g"]
 
         gwc_l, gwc_r = feats_l["gwc_feature"], feats_r["gwc_feature"]
-        volume = _gwc_volume(gwc_l, gwc_r, d4, self.num_groups, self.use_pallas)
+        volume = self._constrain(
+            _gwc_volume(gwc_l, gwc_r, d4, self.num_groups, self.use_pallas)
+        )
         if self.use_concat_volume:
             cat_l, cat_r = feats_l["concat_feature"], feats_r["concat_feature"]
-            volume = jnp.concatenate(
-                [volume, build_concat_volume(cat_l, cat_r, d4)], axis=-1
-            )
-        volume = self._constrain(volume)
+            # kept as a parts tuple: dres0's first conv distributes over the
+            # channel concat (Conv tuple input), skipping a materialized
+            # 64-ch volume concat (~1.6 ms in bad XLA fusions).
+            volume = (volume, self._constrain(build_concat_volume(cat_l, cat_r, d4)))
 
         # pre-aggregation: dres0 (2x convbn3d+relu), dres1 (convbn3d+relu,
         # convbn3d) + residual (gwcnet_dca_g.py:141-148, 224-225)
@@ -278,14 +280,11 @@ class GwcNetBaseline(nn.Module):
             feats_l["gwc_feature"], feats_r["gwc_feature"], d4, self.num_groups
         )
         if self.use_concat_volume:
-            volume = jnp.concatenate(
-                [
-                    volume,
-                    build_concat_volume(
-                        feats_l["concat_feature"], feats_r["concat_feature"], d4
-                    ),
-                ],
-                axis=-1,
+            volume = (
+                volume,
+                build_concat_volume(
+                    feats_l["concat_feature"], feats_r["concat_feature"], d4
+                ),
             )
 
         cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)

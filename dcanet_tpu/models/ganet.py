@@ -79,10 +79,8 @@ class GANetStereo(nn.Module):
         volume = build_concat_volume(cat_l, cat_r, d4)
         if self.use_gwc_volume:
             gwc_l, gwc_r = feats["gwc_feature"][:b], feats["gwc_feature"][b:]
-            volume = jnp.concatenate(
-                [build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups), volume],
-                axis=-1,
-            )
+            # parts tuple = implicit channel concat (layers.Conv)
+            volume = (build_gwc_volume(gwc_l, gwc_r, d4, self.num_groups), volume)
 
         cost = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)
         cost = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost, train)

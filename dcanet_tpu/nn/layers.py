@@ -80,7 +80,16 @@ class Conv(nn.Conv):
                 (p, p) if isinstance(p, int) else tuple(p) for p in self.padding
             )
 
-        kernel_shape = ks + (x.shape[-1], self.features)
+        # A tuple input means the channel-concat of its parts: convolution
+        # distributes over input channels, so each part convolves with its
+        # kernel slice and the results sum — avoiding materialized lane-dim
+        # concats of full cost volumes (measured 1.6-3.2 ms each on v5e).
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        in_features = (
+            sum(p.shape[-1] for p in parts) if parts is not None else x.shape[-1]
+        )
+
+        kernel_shape = ks + (in_features, self.features)
         kernel = self.param("kernel", self.kernel_init, kernel_shape, self.param_dtype)
         bias = (
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
@@ -89,7 +98,12 @@ class Conv(nn.Conv):
         )
         from flax.linen.dtypes import promote_dtype
 
-        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if parts is not None:
+            promoted = promote_dtype(*parts, kernel, bias, dtype=self.dtype)
+            parts, kernel, bias = tuple(promoted[:-2]), promoted[-2], promoted[-1]
+            x = parts[0]  # shape/dtype probe for the dispatch below
+        else:
+            x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
 
         on_tpu = jax.default_backend() == "tpu"
         pointwise = (
@@ -105,20 +119,37 @@ class Conv(nn.Conv):
             and padding == ((1, 1), (1, 1), (1, 1))
             and x.dtype == jnp.bfloat16  # kd-fold loses to native conv3d at f32
             and on_tpu
-            and supports_kdfold(x.shape, kernel_shape, strides)
+            and supports_kdfold(
+                x.shape[:-1] + (in_features,), kernel_shape, strides
+            )
         )
-        if pointwise and on_tpu:
+        if pointwise and (on_tpu or parts is not None):
             # 1x1xx1 conv == matmul over a flattened spatial dim; XLA's
             # pointwise ConvND lowering measured ~7x off the HBM roofline.
-            wmat = kernel.reshape(x.shape[-1], self.features)
-            y = jax.lax.dot_general(
-                x, wmat,
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                precision=self.precision,
-            )
+            wmat = kernel.reshape(in_features, self.features)
+            if parts is not None:
+                y = None
+                off = 0
+                for part in parts:
+                    ci = part.shape[-1]
+                    yp = jax.lax.dot_general(
+                        part, wmat[off : off + ci],
+                        dimension_numbers=(((part.ndim - 1,), (0,)), ((), ())),
+                        precision=self.precision,
+                    )
+                    y = yp if y is None else y + yp
+                    off += ci
+            else:
+                y = jax.lax.dot_general(
+                    x, wmat,
+                    dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                    precision=self.precision,
+                )
         elif fast:
-            y = conv3d_kdfold(x, kernel, strides=strides)
+            y = conv3d_kdfold(parts if parts is not None else x, kernel, strides=strides)
         else:
+            if parts is not None:
+                x = jnp.concatenate(parts, axis=-1)
             dn = {
                 1: ("NWC", "WIO", "NWC"),
                 2: ("NHWC", "HWIO", "NHWC"),
