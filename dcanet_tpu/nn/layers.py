@@ -129,7 +129,13 @@ class Conv(nn.Conv):
                 strides,
             )
         )
-        if pointwise and (on_tpu or parts is not None):
+        import os
+
+        # A/B knob (trace-time): DCANET_POINTWISE_MATMUL=0 routes pointwise
+        # convs through lax.conv instead — measured 99.8 vs 71.6 ms on the
+        # full eval model; the matmul form stays the default.
+        _pw_matmul = os.environ.get("DCANET_POINTWISE_MATMUL", "1") == "1"
+        if pointwise and (on_tpu or parts is not None) and _pw_matmul:
             # 1x1xx1 conv == matmul over a flattened spatial dim; XLA's
             # pointwise ConvND lowering measured ~7x off the HBM roofline.
             wmat = kernel.reshape(in_features, self.features)
