@@ -198,51 +198,48 @@ def cmd_eval(cfg, ckpt_path=None):
 
     ds = _build_dataset(cfg, training=False)
     print(f"eval samples: {len(ds)}")
-    model, state = _make_state(cfg, steps_per_epoch=1)
+
+    # Optional disparity-axis sharding for full-resolution pairs (the memory
+    # bound case: ETH3D 768x1024 / Middlebury maxdisp 240): a (1, n_disp)
+    # mesh + volume constraints; XLA SPMD inserts the halo exchanges.
+    mesh = None
+    if cfg.n_disp_shards > 1:
+        from dcanet_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=1, n_disp=cfg.n_disp_shards)
+        print(f"eval mesh: disp={cfg.n_disp_shards}")
+    model, state = _make_state(cfg, steps_per_epoch=1, mesh=mesh)
     ckpt = CheckpointManager(ckpt_path or (cfg.logdir + "/ckpt"))
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"evaluating step {int(state.step)}")
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    import contextlib
+
+    mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
     fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False))
 
     meters = AverageMeterDict()
     confusion = None
     logger = MetricLogger(cfg.logdir, use_tensorboard=cfg.use_tensorboard)
-    for i in range(len(ds)):
-        item = ds[i]
-        left, pads = pad_to_multiple(item["left"], 16)
-        right, _ = pad_to_multiple(item["right"], 16)
-        out = fwd(left[None], right[None])
-        disp = unpad(np.asarray(out.disparity[0]), pads)
-        gt = item["disparity"]
-        if i < cfg.log_images:
-            # input / est / gt / KITTI error-map panel (the reference's
-            # save_images capability, utils/experiment.py:73-88)
-            hi = max(float(gt.max()), 1.0)
-            rgb = lambda g: np.repeat(np.clip(g / hi, 0, 1)[..., None], 3, -1)
-            raw = unpad(left, pads)
-            raw = (raw - raw.min()) / max(float(raw.max() - raw.min()), 1e-6)
-            panel = np.concatenate(
-                [raw, rgb(disp), rgb(gt), disp_error_image(disp, gt)], axis=0
+    with mesh_ctx:
+        for i in range(len(ds)):
+            item = ds[i]
+            left, pads = pad_to_multiple(item["left"], 16)
+            right, _ = pad_to_multiple(item["right"], 16)
+            out = fwd(left[None], right[None])
+            _eval_one(
+                cfg, i, out, item, left, pads, meters, logger, state,
             )
-            logger.log_image(int(state.step), f"eval/sample{i}", panel)
-        mask = (gt > 0) & (gt < cfg.maxdisp)
-        # reference eval protocol: per-image metrics with the <10%-valid skip
-        # (utils/metrics.py:22-41); skipped images contribute n=0.
-        m = per_image_metrics(
-            jnp.asarray(disp)[None], jnp.asarray(gt)[None], jnp.asarray(mask)[None]
-        )
-        n_valid = int(m.pop("n_valid_images"))
-        if n_valid:
-            meters.update({k: float(v) for k, v in m.items()}, n=n_valid)
-        if out.class_logits:
-            lg = out.class_logits[-1]
-            num_classes = lg.shape[1]
-            gt_pad, _ = pad_to_multiple(gt, 16)
-            c = disparity_class_confusion(lg, jnp.asarray(gt_pad[None]), num_classes)
-            confusion = c if confusion is None else confusion + c
+            if out.class_logits:
+                lg = out.class_logits[-1]
+                num_classes = lg.shape[1]
+                gt_pad, _ = pad_to_multiple(item["disparity"], 16)
+                c = disparity_class_confusion(
+                    lg, jnp.asarray(gt_pad[None]), num_classes
+                )
+                confusion = c if confusion is None else confusion + c
     results = meters.mean()
     if confusion is not None:
         results.update(
@@ -250,6 +247,35 @@ def cmd_eval(cfg, ckpt_path=None):
         )
     print({k: round(v, 4) for k, v in results.items()})
     return results
+
+
+def _eval_one(cfg, i, out, item, left, pads, meters, logger, state):
+    from dcanet_tpu.data.loader import unpad
+    from dcanet_tpu.train.metrics import per_image_metrics
+    from dcanet_tpu.utils.visualization import disp_error_image
+
+    disp = unpad(np.asarray(out.disparity[0]), pads)
+    gt = item["disparity"]
+    if i < cfg.log_images:
+        # input / est / gt / KITTI error-map panel (the reference's
+        # save_images capability, utils/experiment.py:73-88)
+        hi = max(float(gt.max()), 1.0)
+        rgb = lambda g: np.repeat(np.clip(g / hi, 0, 1)[..., None], 3, -1)
+        raw = unpad(left, pads)
+        raw = (raw - raw.min()) / max(float(raw.max() - raw.min()), 1e-6)
+        panel = np.concatenate(
+            [raw, rgb(disp), rgb(gt), disp_error_image(disp, gt)], axis=0
+        )
+        logger.log_image(int(state.step), f"eval/sample{i}", panel)
+    mask = (gt > 0) & (gt < cfg.maxdisp)
+    # reference eval protocol: per-image metrics with the <10%-valid skip
+    # (utils/metrics.py:22-41); skipped images contribute n=0.
+    m = per_image_metrics(
+        jnp.asarray(disp)[None], jnp.asarray(gt)[None], jnp.asarray(mask)[None]
+    )
+    n_valid = int(m.pop("n_valid_images"))
+    if n_valid:
+        meters.update({k: float(v) for k, v in m.items()}, n=n_valid)
 
 
 def cmd_infer_list(cfg, data_path, list_path, save_path):
