@@ -131,24 +131,39 @@ def _fwd(left, right, maxdisp, num_groups):
 
 
 def _bwd(maxdisp, num_groups, res, g):
+    """Vectorized backward: correlation grads are diagonal gathers + a
+    D-reduction (the r1 version was a 48-stage unrolled .at[].add loop —
+    minutes of compile time and a serialized HLO).
+
+      dL[w'] = sum_d gc[d, w'] * R[w' - d]
+      dR[w''] = sum_d gc[d, w'' + d] * L[w'' + d]
+    """
     left, right = res
     b, h, w, c = left.shape
+    d = maxdisp
     cpg = c // num_groups
     # expand group grads back to channels: gc[b,d,h,w,c] = g[b,d,h,w,group(c)]/cpg
     gc = jnp.repeat(g, cpg, axis=-1) / cpg  # (B, D, H, W, C)
 
-    dl = jnp.zeros_like(left)
-    dr = jnp.zeros_like(right)
-    for d in range(maxdisp):
-        gd = gc[:, d]  # (B, H, W, C)
-        if d == 0:
-            dl = dl + gd * right
-            dr = dr + gd * left
-        elif d < w:
-            # forward: out[:, d, :, w'] = L[w'] * R[w'-d]  for w' >= d
-            dl = dl.at[:, :, d:, :].add(gd[:, :, d:, :] * right[:, :, : w - d, :])
-            dr = dr.at[:, :, : w - d, :].add(gd[:, :, d:, :] * left[:, :, d:, :])
-    return dl, dr
+    ar_w = jnp.arange(w)
+    ar_d = jnp.arange(d)
+
+    # dL: gather R at w' - d (left-pad D-1 zeros -> always in range)
+    rp = jnp.pad(right, ((0, 0), (0, 0), (d - 1, 0), (0, 0)))
+    idx_l = ar_w[None, :] - ar_d[:, None] + (d - 1)  # (D, W)
+    rsh = rp[:, :, idx_l, :]  # (B, H, D, W, C)
+    dl = jnp.einsum("bdhwc,bhdwc->bhwc", gc, rsh)
+
+    # dR: gather L and gc at w'' + d (right-pad D zeros)
+    lp = jnp.pad(left, ((0, 0), (0, 0), (0, d), (0, 0)))
+    gcp = jnp.pad(gc, ((0, 0), (0, 0), (0, 0), (0, d), (0, 0)))
+    idx_r = ar_w[None, :] + ar_d[:, None]  # (D, W)
+    lsh = lp[:, :, idx_r, :]  # (B, H, D, W, C)
+    gcs = jnp.take_along_axis(
+        gcp, idx_r[None, :, None, :, None], axis=3
+    )  # (B, D, H, W, C)
+    dr = jnp.einsum("bdhwc,bhdwc->bhwc", gcs, lsh)
+    return dl.astype(left.dtype), dr.astype(right.dtype)
 
 
 build_gwc_volume_pallas.defvjp(_fwd, _bwd)
