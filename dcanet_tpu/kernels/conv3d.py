@@ -277,7 +277,7 @@ def supports_kdfold(x_shape, w_shape, strides=(1, 1, 1)) -> bool:
     return co % 8 == 0 and x_shape[1] >= 2
 
 
-def conv3d_kdfold(x, w, strides=(1, 1, 1)):
+def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None):
     """Fast 3x3x3 SAME conv (stride 1 or 2), differentiable end-to-end.
     1.78x over the r1 dslice path at the bench shape; the backward (two conv
     transposes on the same fast path) measures 1.4x over native conv3d's.
@@ -285,28 +285,56 @@ def conv3d_kdfold(x, w, strides=(1, 1, 1)):
     `x` may be a tuple of (B,D,H,W,Ci) parts meaning their channel concat:
     conv distributes over input-channel concatenation, so each part gets its
     kernel slice and the step-1 outputs are summed — the explicit channel
-    concat of cost volumes measured 1.6-3.2 ms each in bad XLA fusions."""
+    concat of cost volumes measured 1.6-3.2 ms each in bad XLA fusions.
+
+    `bias` (per-output-channel, f32) is injected into the kd=1 block of the
+    STEP-1 output as a constant [0, b, 0] lane vector ON THE RAW 4D conv
+    output, where it fuses into the conv epilogue: the selection conv
+    includes the center tap (kd=1, read from y[d·stride]) exactly once for
+    every output plane d, so the select output gets +b exactly once. Measured
+    (tools/profile_epilogue3.py, 4-conv chain at the dres shape): this form
+    11.53 ms == the epilogue-free chain; a bias added after the select conv
+    14.29 ms (+0.68/conv); the same [0,b,0] add sandwiched between the 5D
+    reshapes 26.5 ms (breaks the conv->conv fusion). The whole chain
+    therefore stays in the FLAT (B·D, H, W, ·) dialect internally: step-1
+    output -> bias add -> ONE contiguous reshape to (B, D, H'·W', 3Co) ->
+    select conv -> reshape out."""
     co = w.shape[4]
-    if isinstance(x, (tuple, list)):
-        y = None
-        off = 0
-        for part in x:
-            ci = part.shape[-1]
-            yp = _kdfold_conv2d(part, w[:, :, :, off : off + ci], hw_strides=strides[1:])
-            y = yp if y is None else y + yp
-            off += ci
-        assert off == w.shape[3], (off, w.shape)
-    else:
-        y = _kdfold_conv2d(x, w, hw_strides=strides[1:])
-    return _kd_select(y, co, d_stride=strides[0])
+    parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+    b, d = parts[0].shape[:2]
+    y = None
+    off = 0
+    for part in parts:
+        ci = part.shape[-1]
+        pb, pd, ph, pw, _ = part.shape
+        w2 = jnp.concatenate(
+            [w[0, :, :, off : off + ci], w[1, :, :, off : off + ci],
+             w[2, :, :, off : off + ci]], axis=-1,
+        )  # (3, 3, ci, 3Co)
+        yp = jax.lax.conv_general_dilated(
+            part.reshape(pb * pd, ph, pw, ci), w2, strides[1:], [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = yp if y is None else y + yp
+        off += ci
+    assert off == w.shape[3], (off, w.shape)
+    if bias is not None:
+        zero = jnp.zeros((co,), jnp.float32)
+        bvec = jnp.concatenate([zero, bias.astype(jnp.float32), zero])
+        y = y + bvec.astype(y.dtype)
+    _, hp, wp, _ = y.shape
+    sel = _kd_select_kernel(co, y.dtype)
+    out = jax.lax.conv_general_dilated(
+        y.reshape(b, d, hp * wp, 3 * co), sel, (strides[0], 1),
+        [(1, 1), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(b, out.shape[1], hp, wp, co)
 
 
 def conv3d_kdfold_fused(x, w, scale, bias, relu: bool = False):
     """Eval variant with folded-BN scale baked into the step-1 weights and
-    bias+ReLU fused behind the selection conv by XLA."""
-    co = w.shape[4]
-    y = _kdfold_conv2d(x, w, scale=scale)
-    out = _kd_select(y, co) + bias.astype(x.dtype)
+    the bias injected into the kd=1 step-1 block (see conv3d_kdfold)."""
+    out = conv3d_kdfold(x, w * scale.astype(w.dtype), bias=bias)
     return jnp.maximum(out, 0.0) if relu else out
 
 

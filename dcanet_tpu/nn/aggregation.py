@@ -12,9 +12,23 @@ from typing import Any, Optional
 
 from flax import linen as nn
 
-from dcanet_tpu.nn.layers import BatchNorm, ConvBN, ConvBNAct, TorchConvTranspose
+from dcanet_tpu.nn.layers import (
+    BatchNorm,
+    ConvBN,
+    ConvBNAct,
+    TorchConvTranspose,
+    fold_eval_bn_enabled,
+)
 
 Dtype = Any
+
+
+def _deconv_bn(deconv, bn, x, features, train):
+    """deconv + BN, with the eval-mode BN affine folded into the deconv
+    (scale into the f32 kernel, bias fused into the single conv's epilogue)."""
+    if not train and fold_eval_bn_enabled(deconv.dtype):
+        return deconv(x, epilogue=bn(features, train, fold=True))
+    return bn(deconv(x), train)
 
 
 class MultiAggregation(nn.Module):
@@ -28,8 +42,9 @@ class MultiAggregation(nn.Module):
         c = self.channels
         y = ConvBNAct(c * 2, 3, 2, 1, dims=3, dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNAct(c * 2, 3, 1, 1, dims=3, dtype=self.dtype, name="conv2")(y, train)
-        y = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv3")(y)
-        y = BatchNorm(dtype=self.dtype, name="conv3_bn")(y, train)
+        deconv = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv3")
+        bn = BatchNorm(dtype=self.dtype, name="conv3_bn")
+        y = _deconv_bn(deconv, bn, y, c, train)
         redir = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="redir")(x, train)
         return nn.relu(y + redir)
 
@@ -48,12 +63,16 @@ class Hourglass3D(nn.Module):
         conv3 = ConvBNAct(c * 4, 3, 2, 1, dims=3, dtype=self.dtype, name="conv3")(conv2, train)
         conv4 = ConvBNAct(c * 4, 3, 1, 1, dims=3, dtype=self.dtype, name="conv4")(conv3, train)
 
-        up5 = TorchConvTranspose(c * 2, dims=3, dtype=self.dtype, name="conv5")(conv4)
-        up5 = BatchNorm(dtype=self.dtype, name="conv5_bn")(up5, train)
+        up5 = _deconv_bn(
+            TorchConvTranspose(c * 2, dims=3, dtype=self.dtype, name="conv5"),
+            BatchNorm(dtype=self.dtype, name="conv5_bn"), conv4, c * 2, train,
+        )
         redir2 = ConvBN(c * 2, 1, 1, 0, dims=3, dtype=self.dtype, name="redir2")(conv2, train)
         conv5 = nn.relu(up5 + redir2)
 
-        up6 = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv6")(conv5)
-        up6 = BatchNorm(dtype=self.dtype, name="conv6_bn")(up6, train)
+        up6 = _deconv_bn(
+            TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv6"),
+            BatchNorm(dtype=self.dtype, name="conv6_bn"), conv5, c, train,
+        )
         redir1 = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="redir1")(x, train)
         return nn.relu(up6 + redir1)

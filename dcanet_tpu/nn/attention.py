@@ -15,7 +15,12 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dcanet_tpu.nn.layers import BatchNorm, Conv, reference_conv_init
+from dcanet_tpu.nn.layers import (
+    BatchNorm,
+    Conv,
+    fold_eval_bn_enabled,
+    reference_conv_init,
+)
 
 Dtype = Any
 
@@ -33,13 +38,19 @@ class Projection(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(self.num_convs):
-            x = Conv(
+            conv = Conv(
                 self.features, (1, 1, 1), use_bias=False,
                 kernel_init=reference_conv_init, dtype=self.dtype,
-            )(x)
+            )
             if self.use_norm:
-                x = BatchNorm(dtype=self.dtype)(x, train)
+                bn = BatchNorm(dtype=self.dtype)
+                if not train and fold_eval_bn_enabled(self.dtype):
+                    x = conv(x, epilogue=bn(self.features, train, fold=True))
+                else:
+                    x = bn(conv(x), train)
                 x = nn.leaky_relu(x, negative_slope=0.1)
+            else:
+                x = conv(x)
         return x
 
 

@@ -45,6 +45,20 @@ def _tuple(v, n):
     return (v,) * n
 
 
+def fold_eval_bn_enabled(dtype) -> bool:
+    """Eval-mode BN folding gate: at bf16 the folded affine is free (scale
+    multiplied into the f32 kernel before the bf16 cast; bias fused into the
+    conv epilogue — kernels/conv3d.py docstring has the measurements), while
+    the unfused affine costs ~0.68 ms/conv in kd-fold chains. f32 paths keep
+    the literal flax BN so checkpoint-parity tests stay bit-identical.
+    DCANET_FOLD_EVAL_BN=0 disables (A/B + numerics tests)."""
+    import os
+
+    return dtype == jnp.bfloat16 and os.environ.get(
+        "DCANET_FOLD_EVAL_BN", "1"
+    ) == "1"
+
+
 class Conv(nn.Conv):
     """nn.Conv with a TPU fast path for 3x3x3 3D convs.
 
@@ -59,7 +73,14 @@ class Conv(nn.Conv):
     """
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue=None):
+        """`epilogue=(scale, bias)` (per-out-channel, f32) applies a folded
+        affine (eval-mode BN): scale is multiplied into the f32 kernel BEFORE
+        the compute-dtype cast (free, one rounding), bias is fused into the
+        conv epilogue (kd-fold path: injected into the step-1 output's kd=1
+        block; other paths: a plain post-conv add, which XLA fuses on single
+        convs)."""
+
         def dims(v, n):
             if v is None:
                 return (1,) * n
@@ -96,6 +117,15 @@ class Conv(nn.Conv):
             if self.use_bias
             else None
         )
+        e_bias = None
+        if epilogue is not None:
+            e_scale, e_bias = epilogue
+            kernel = kernel * e_scale.astype(kernel.dtype)
+            e_bias = e_bias.astype(jnp.float32)
+            if bias is not None:
+                # BN(conv + b) == conv·s + (b·s + bn_bias)
+                e_bias = e_bias + bias.astype(jnp.float32) * e_scale.astype(jnp.float32)
+                bias = None
         from flax.linen.dtypes import promote_dtype
 
         if parts is not None:
@@ -159,9 +189,16 @@ class Conv(nn.Conv):
                 )
         elif fast:
             k = kernel
+            kd_bias = e_bias
             if co_pad:
                 k = jnp.pad(kernel, ((0, 0),) * (kernel.ndim - 1) + ((0, co_pad),))
-            y = conv3d_kdfold(parts if parts is not None else x, k, strides=strides)
+                if kd_bias is not None:
+                    kd_bias = jnp.pad(kd_bias, ((0, co_pad),))
+            y = conv3d_kdfold(
+                parts if parts is not None else x, k, strides=strides,
+                bias=kd_bias,
+            )
+            e_bias = None  # fused into the step-1 epilogue
             if co_pad:
                 y = y[..., : self.features]
         else:
@@ -178,18 +215,37 @@ class Conv(nn.Conv):
             )
         if bias is not None:
             y = y + bias
+        if e_bias is not None:
+            y = y + e_bias.astype(y.dtype)
         return y
 
 
 class BatchNorm(nn.Module):
     """Thin wrapper pinning torch-equivalent BN defaults (momentum 0.1 torch
-    == 0.9 flax decay, eps 1e-5)."""
+    == 0.9 flax decay, eps 1e-5).
+
+    `fold=True` returns the eval-mode affine `(scale, bias)` in f32 (with
+    `x` passed as the feature count) instead of applying the norm — read off
+    the inner flax BN by probing it with zeros/ones vectors, so the params,
+    their init, and the variable tree stay byte-identical to the unfused
+    path. Callers fold the affine into the preceding conv (see Conv
+    `epilogue`)."""
 
     axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fold: bool = False):
+        if fold:
+            assert not train, "BN folding is eval-only"
+            feat = int(x)
+            bn = nn.BatchNorm(
+                use_running_average=True, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, axis_name=self.axis_name,
+            )
+            b = bn(jnp.zeros((1, feat), jnp.float32))[0]
+            s = bn(jnp.ones((1, feat), jnp.float32))[0] - b
+            return s, b
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -220,7 +276,7 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool):
         n = self.dims
         pad = _tuple(self.padding, n)
-        y = Conv(
+        conv = Conv(
             features=self.features,
             kernel_size=_tuple(self.kernel, n),
             strides=_tuple(self.strides, n),
@@ -229,8 +285,11 @@ class ConvBN(nn.Module):
             use_bias=self.use_bias,
             kernel_init=reference_conv_init,
             dtype=self.dtype,
-        )(x)
-        return BatchNorm(dtype=self.dtype)(y, train)
+        )
+        bn = BatchNorm(dtype=self.dtype)
+        if not train and fold_eval_bn_enabled(self.dtype):
+            return conv(x, epilogue=bn(self.features, train, fold=True))
+        return bn(conv(x), train)
 
 
 class ConvBNAct(nn.Module):
@@ -280,12 +339,16 @@ class BasicBlock(nn.Module):
             self.planes, 3, 1, pad, self.dilation, dims=2, dtype=self.dtype
         )(out, train)
         if self.strides != 1 or in_planes != self.planes:
-            x = Conv(
+            conv_d = Conv(
                 self.planes, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, kernel_init=reference_conv_init,
                 dtype=self.dtype,
-            )(x)
-            x = BatchNorm(dtype=self.dtype)(x, train)
+            )
+            bn_d = BatchNorm(dtype=self.dtype)
+            if not train and fold_eval_bn_enabled(self.dtype):
+                x = conv_d(x, epilogue=bn_d(self.planes, train, fold=True))
+            else:
+                x = bn_d(conv_d(x), train)
         return out + x
 
 
@@ -306,7 +369,7 @@ class BasicConv(nn.Module):
     def __call__(self, x, train: bool):
         n = self.dims
         pad = _tuple(self.padding, n)
-        y = Conv(
+        conv = Conv(
             self.features,
             kernel_size=_tuple(self.kernel, n),
             strides=_tuple(self.strides, n),
@@ -314,9 +377,15 @@ class BasicConv(nn.Module):
             use_bias=False,
             kernel_init=reference_conv_init,
             dtype=self.dtype,
-        )(x)
+        )
         if self.use_bn:
-            y = BatchNorm(dtype=self.dtype)(y, train)
+            bn = BatchNorm(dtype=self.dtype)
+            if not train and fold_eval_bn_enabled(self.dtype):
+                y = conv(x, epilogue=bn(self.features, train, fold=True))
+            else:
+                y = bn(conv(x), train)
+        else:
+            y = conv(x)
         if self.use_relu:
             y = nn.relu(y)
         return y
@@ -392,7 +461,7 @@ class TorchConvTranspose(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue=None):
         n = self.dims
         in_features = x.shape[-1]
         k = self.kernel
@@ -400,6 +469,10 @@ class TorchConvTranspose(nn.Module):
         pad_hi = pad_lo + self.output_padding
         kernel_shape = (k,) * n + (in_features, self.features)
         w = self.param("kernel", reference_conv_init, kernel_shape)
+        e_bias = None
+        if epilogue is not None:
+            e_scale, e_bias = epilogue
+            w = w * e_scale.astype(w.dtype)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             w = w.astype(self.dtype)
@@ -418,7 +491,12 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            if epilogue is not None:
+                e_bias = e_bias + b.astype(jnp.float32) * e_scale.astype(jnp.float32)
+            else:
+                y = y + b
+        if e_bias is not None:
+            y = y + e_bias.astype(y.dtype)
         return y
 
 

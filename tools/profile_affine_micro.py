@@ -36,7 +36,7 @@ def main():
     w = jax.random.normal(key, (3, 3, 3, 32, 32), jnp.bfloat16) * 0.05
     s = jax.random.normal(jax.random.PRNGKey(1), (32,), jnp.bfloat16) * 0.1 + 1
     b = jax.random.normal(jax.random.PRNGKey(2), (32,), jnp.bfloat16) * 0.1
-    s_np = np.asarray(s, np.float32).astype(np.float32)
+    s_np = np.asarray(s, np.float32)
     b_np = np.asarray(b, np.float32)
 
     cases = {

@@ -58,10 +58,6 @@ def main():
         print(f"prefix {names[upto-1]:<14s}{t*1e3:9.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def variants():
     """A/B the redir seam: dot_general vs conv1x1 vs plain add."""
     from flax import linen as nn
@@ -111,5 +107,8 @@ def variants():
         print(f"variant {mode:<10s}{t*1e3:9.2f} ms", flush=True)
 
 
-if __name__ == "__main__" and "--variants" in sys.argv:
-    variants()
+if __name__ == "__main__":
+    if "--variants" in sys.argv:
+        variants()
+    else:
+        main()

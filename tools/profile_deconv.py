@@ -33,7 +33,6 @@ def parity_kernel(w):
       odd parity: offset 0 -> index 2, offset 1 -> index 0
     """
     c, co = w.shape[3], w.shape[4]
-    k = np.zeros((2, 2, 2, 1, 8, 1), np.float32)  # (dd,dh,dw, C, parity, Co)
     w = np.asarray(w, np.float32)
     out = np.zeros((2, 2, 2, c, 8, co), np.float32)
     for p in range(8):

@@ -38,13 +38,20 @@ def conv5d(x, w):
 
 
 def conv_flat(xf, w, h, wd):
-    """(B, D, HW, C) -> (B, D, HW, Co) via kd-fold, no 5D round trip."""
+    """(B, D, HW, C) -> (B, D, HW, Co) via kd-fold; the select conv and all
+    downstream elementwise ops stay on the flat (B, D, HW, *) form (step 1 is
+    a spatial conv, it inherently needs the (H, W) view)."""
+    from dcanet_tpu.kernels.conv3d import _kd_select_kernel
+
     b, d, hw, c = xf.shape
     co = w.shape[4]
     y = _kdfold_conv2d(xf.reshape(b, d, h, wd, c), w)
-    yf = y.reshape(b, d, h * wd, 3 * co)
-    sel = _kd_select(yf.reshape(b, d, h, wd, 3 * co), co)  # reuse path
-    return sel.reshape(b, d, hw, co)
+    yf = y.reshape(b, d, hw, 3 * co)
+    sel = _kd_select_kernel(co, yf.dtype)
+    return jax.lax.conv_general_dilated(
+        yf, sel, (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def main():
