@@ -183,8 +183,17 @@ def cmd_train(cfg):
     print("training done")
 
 
+def _protocol_preset(cfg) -> str:
+    """cfg.dataset -> eval-protocol family (data/eval_protocol.py)."""
+    if cfg.dataset.startswith("kitti"):
+        return "kitti"
+    if cfg.dataset in ("eth3d", "middlebury", "sceneflow"):
+        return cfg.dataset
+    return "generic"
+
+
 def cmd_eval(cfg, ckpt_path=None):
-    from dcanet_tpu.data.loader import pad_to_multiple, unpad
+    from dcanet_tpu.data.eval_protocol import eval_transform
     from dcanet_tpu.train.checkpoint import CheckpointManager
     from dcanet_tpu.train.metrics import (
         disparity_class_confusion,
@@ -221,41 +230,55 @@ def cmd_eval(cfg, ckpt_path=None):
     fwd = jax.jit(lambda l, r: model.apply(variables, l, r, train=False))
 
     meters = AverageMeterDict()
-    confusion = None
+    confusions = None  # one confusion matrix per DCA prob volume
     logger = MetricLogger(cfg.logdir, use_tensorboard=cfg.use_tensorboard)
+    protocol = _protocol_preset(cfg)
     with mesh_ctx:
         for i in range(len(ds)):
-            item = ds[i]
-            left, pads = pad_to_multiple(item["left"], 16)
-            right, _ = pad_to_multiple(item["right"], 16)
+            # reference test-time geometry per dataset (KITTI bottom-right
+            # 1232x368 crop, ETH3D fixed 768x1024 pad, Middlebury /64
+            # replicate buckets, SceneFlow pad-to-16) — one or few static
+            # shapes per dataset, so `fwd` compiles O(1) times.
+            left, right, gt, pads = eval_transform(ds[i], protocol)
             out = fwd(left[None], right[None])
-            _eval_one(
-                cfg, i, out, item, left, pads, meters, logger, state,
-            )
+            _eval_one(cfg, i, out, gt, left, pads, meters, logger, state)
             if out.class_logits:
-                lg = out.class_logits[-1]
-                num_classes = lg.shape[1]
-                gt_pad, _ = pad_to_multiple(item["disparity"], 16)
-                c = disparity_class_confusion(
-                    lg, jnp.asarray(gt_pad[None]), num_classes
+                # score EVERY DCA volume like the reference's metric_1/
+                # metric_2 loop (main_dca.py:209-244), not just the last
+                gt_model = (
+                    np.pad(gt, [(pads[0], 0), (0, pads[1])])
+                    if any(pads) else gt
                 )
-                confusion = c if confusion is None else confusion + c
+                if confusions is None:
+                    confusions = [None] * len(out.class_logits)
+                for vi, lg in enumerate(out.class_logits):
+                    c = disparity_class_confusion(
+                        lg, jnp.asarray(gt_model[None]), lg.shape[1]
+                    )
+                    confusions[vi] = c if confusions[vi] is None else confusions[vi] + c
     results = meters.mean()
-    if confusion is not None:
+    if confusions is not None:
+        for vi, conf in enumerate(confusions):
+            results.update(
+                {
+                    f"vol{vi + 1}/{k}": float(v)
+                    for k, v in segmentation_scores(conf).items()
+                }
+            )
+        # aggregate keys keep reporting the final volume (previous behavior)
         results.update(
-            {k: float(v) for k, v in segmentation_scores(confusion).items()}
+            {k: float(v) for k, v in segmentation_scores(confusions[-1]).items()}
         )
     print({k: round(v, 4) for k, v in results.items()})
     return results
 
 
-def _eval_one(cfg, i, out, item, left, pads, meters, logger, state):
+def _eval_one(cfg, i, out, gt, left, pads, meters, logger, state):
     from dcanet_tpu.data.loader import unpad
     from dcanet_tpu.train.metrics import per_image_metrics
     from dcanet_tpu.utils.visualization import disp_error_image
 
     disp = unpad(np.asarray(out.disparity[0]), pads)
-    gt = item["disparity"]
     if i < cfg.log_images:
         # input / est / gt / KITTI error-map panel (the reference's
         # save_images capability, utils/experiment.py:73-88)

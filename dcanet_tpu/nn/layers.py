@@ -159,6 +159,26 @@ class Conv(nn.Conv):
                 strides,
             )
         )
+        from dcanet_tpu.kernels.conv2d import conv2d_khfold, supports_khfold
+
+        # 2D analog (kh folded into output channels): 2.3x at the layer1
+        # shape in ISOLATION (tools/profile_conv2d_fold.py: 0.56 vs 1.27 ms
+        # for a bare 4-conv chain) but a net LOSS inside the extractor
+        # (tools/profile_feature.py: 7.7 vs 6.6 ms — the select conv breaks
+        # fusion with the BasicBlock residual adds), so DEFAULT OFF;
+        # DCANET_CONV2D_KHFOLD=1 re-enables for A/Bs.
+        import os as _os
+
+        fast2 = (
+            n == 2
+            and _os.environ.get("DCANET_CONV2D_KHFOLD", "0") == "1"
+            and parts is None
+            and dilation == (1, 1)
+            and padding == ((1, 1), (1, 1))
+            and x.dtype == jnp.bfloat16
+            and on_tpu
+            and supports_khfold(x.shape, kernel_shape, strides)
+        )
         import os
 
         # A/B knob (trace-time): DCANET_POINTWISE_MATMUL=0 routes pointwise
@@ -201,6 +221,9 @@ class Conv(nn.Conv):
             e_bias = None  # fused into the step-1 epilogue
             if co_pad:
                 y = y[..., : self.features]
+        elif fast2:
+            y = conv2d_khfold(x, kernel, strides=strides, bias=e_bias)
+            e_bias = None
         else:
             if parts is not None:
                 x = jnp.concatenate(parts, axis=-1)
