@@ -277,7 +277,7 @@ def supports_kdfold(x_shape, w_shape, strides=(1, 1, 1)) -> bool:
     return co % 8 == 0 and x_shape[1] >= 2
 
 
-def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None):
+def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None, residual=None):
     """Fast 3x3x3 SAME conv (stride 1 or 2), differentiable end-to-end.
     1.78x over the r1 dslice path at the bench shape; the backward (two conv
     transposes on the same fast path) measures 1.4x over native conv3d's.
@@ -298,7 +298,13 @@ def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None):
     reshapes 26.5 ms (breaks the conv->conv fusion). The whole chain
     therefore stays in the FLAT (B·D, H, W, ·) dialect internally: step-1
     output -> bias add -> ONE contiguous reshape to (B, D, H'·W', 3Co) ->
-    select conv -> reshape out."""
+    select conv -> reshape out.
+
+    `residual` (B,D,H,W,Co, stride-1 only) rides the SAME center-block slot
+    as a full tensor: out + residual with the add done in the flat dialect
+    before the select conv. Measured at the dres shape: 2.59 ms vs 3.23 ms
+    for a plain post-conv add (the consumer-side relayout copies cost
+    ~1.3 ms; see kernels/deconv3d.py for the HLO evidence)."""
     co = w.shape[4]
     parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
     b, d = parts[0].shape[:2]
@@ -322,6 +328,12 @@ def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None):
         zero = jnp.zeros((co,), jnp.float32)
         bvec = jnp.concatenate([zero, bias.astype(jnp.float32), zero])
         y = y + bvec.astype(y.dtype)
+    if residual is not None:
+        assert strides == (1, 1, 1), "residual injection needs stride 1"
+        rb, rd, rh, rw, rc = residual.shape
+        assert (rb, rd) == (b, d) and rc == co, (residual.shape, y.shape, co)
+        rflat = residual.reshape(rb * rd, rh, rw, rc).astype(y.dtype)
+        y = y + jnp.pad(rflat, ((0, 0), (0, 0), (0, 0), (co, co)))
     _, hp, wp, _ = y.shape
     sel = _kd_select_kernel(co, y.dtype)
     out = jax.lax.conv_general_dilated(
@@ -331,10 +343,11 @@ def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None):
     return out.reshape(b, out.shape[1], hp, wp, co)
 
 
-def conv3d_kdfold_fused(x, w, scale, bias, relu: bool = False):
+def conv3d_kdfold_fused(x, w, scale, bias, relu: bool = False, residual=None):
     """Eval variant with folded-BN scale baked into the step-1 weights and
-    the bias injected into the kd=1 step-1 block (see conv3d_kdfold)."""
-    out = conv3d_kdfold(x, w * scale.astype(w.dtype), bias=bias)
+    the bias (and optional residual tensor) injected into the kd=1 step-1
+    block (see conv3d_kdfold). relu applies after the residual."""
+    out = conv3d_kdfold(x, w * scale.astype(w.dtype), bias=bias, residual=residual)
     return jnp.maximum(out, 0.0) if relu else out
 
 

@@ -1,0 +1,213 @@
+"""Flat-dialect subpixel transposed Conv3D (kernel 3, stride 2, padding 1,
+output_padding 1 -> exact 2x upsampling) with fused residual epilogues.
+
+Why: the MultiAggregation tail `relu(BN(deconv(y)) + redir(x))` (reference
+models/augment/cva.py:20-31) measured 2.5+ ms of pure seam overhead on v5e:
+XLA's lhs-dilated conv emitter picks a W-split batch layout for the deconv
+output, and the residual-add consumer forces TWO full-volume relayout copies
+(seen in optimized HLO: `copy.9` + `copy.11` around `convolution_select_fusion`
+at the 48x96x312x32 bench shape). The pure add is 0.34 ms; the composition
+costs 2.4-2.7 ms however the deconv is formulated — the fix is to never hand
+XLA a "conv output + elementwise add in conv-hostile layout" seam at all.
+
+Subpixel decomposition (per dim, derived from the lhs-dilated correlation
+y[o] = sum_t w[t] * x[(o+t-1)/2] over taps with (o+t-1) even):
+  even o = 2i:   y[o] = w[1] @ x[i]                  (window offset 0)
+  odd  o = 2i+1: y[o] = w[0] @ x[i] + w[2] @ x[i+1]  (window offsets 0, 1)
+so the 2x transposed conv == a dense 2x2x2 window conv producing 8 parity
+outputs per input cell, interleaved back (depth-to-space). In the repo's flat
+kd-fold dialect (kernels/conv3d.py) that becomes:
+  step 1: one 2D conv, D folded into batch, the D-window offset sd folded
+          into output channels: (B*D8, H8, W8, Ci) x (2, 2, Ci, 2*8*Co),
+          N = 2*8*Co = 512 lanes at Co=32 — MXU-wide.
+  step 2: a fixed 0/1 selection conv over (D, H8*W8) with kernel (2,1),
+          resolving out8[i] = y1[i][sd=0 block] + y1[i+1][sd=1 block].
+  step 3: relu + packed adds while still in the (pd,ph,pw,co) packed domain,
+          then ONE interleave into the standard layout as the final write.
+Residuals ride the step-1 sd=0 channel block (each output cell reads that
+block exactly once), the same injection slot as the kd-fold eval-BN bias.
+
+`pack2x_pointwise` puts a pointwise(-conv)ed full-res volume INTO the packed
+domain on the conv path (two 0/1-select convs): the naive space_to_depth
+transpose of a 92 MB volume measured 2.2 ms; this form rides XLA's conv
+layouts instead. It carries the `redir` 1x1x1 ConvBN (and any plain residual,
+w=None) into the packed add for free.
+
+Measured (tools/profile_deconv_subpixel.py, deconv input (1,24,48,156,64)):
+  lhs-dilated deconv alone          0.78 ms
+  ... + residual add + relu         2.21-2.73 ms  (any formulation)
+  THIS, incl. packed add + interleave  1.18 ms
+
+All ops are plain XLA convs/reshapes: differentiable, SPMD-shardable.
+Parity vs the lhs-dilated reference: tests/test_fold_eval.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# per-dim subpixel tap map: output parity p -> [(window offset s, kernel tap t)]
+_TAPS = {0: [(0, 1)], 1: [(0, 0), (1, 2)]}
+
+
+@functools.lru_cache(maxsize=None)
+def _subpixel_select_np():
+    """(2,2,2,8,3,3,3) 0/1 tensor M[sd,sh,sw,p,td,th,tw]: which original
+    kernel tap lands at window offset (sd,sh,sw) for parity class p."""
+    m = np.zeros((2, 2, 2, 8, 3, 3, 3), np.float32)
+    for pd in (0, 1):
+        for ph in (0, 1):
+            for pw in (0, 1):
+                p = pd * 4 + ph * 2 + pw
+                for sd, td in _TAPS[pd]:
+                    for sh, th in _TAPS[ph]:
+                        for sw, tw in _TAPS[pw]:
+                            m[sd, sh, sw, p, td, th, tw] = 1.0
+    return m
+
+
+def _subpixel_weights(w):
+    """(3,3,3,Ci,Co) lhs-dilated-correlation kernel -> (2,2,Ci,2*8*Co) flat
+    step-1 weight, channel blocks sd-major then (pd,ph,pw,co). Traceable
+    (w may carry a folded eval-BN scale)."""
+    ci, co = w.shape[3], w.shape[4]
+    m = jnp.asarray(_subpixel_select_np(), w.dtype)
+    # w8[sd,sh,sw,ci,p,co]
+    w8 = jnp.einsum("abcpdef,defio->abcipo", m, w)
+    w8 = w8.reshape(2, 2, 2, ci, 8 * co)
+    return jnp.concatenate([w8[0], w8[1]], axis=-1)  # (2,2,ci,16co)
+
+
+@functools.lru_cache(maxsize=None)
+def _sd_select_np(co8: int):
+    """(2,1,2*co8,co8): S[sd,0,sd*co8+j,j] = 1 — step-2 selection kernel."""
+    s = np.zeros((2, 1, 2 * co8, co8), np.float32)
+    idx = np.arange(co8)
+    for sd in range(2):
+        s[sd, 0, sd * co8 + idx, idx] = 1.0
+    return s
+
+
+@functools.lru_cache(maxsize=None)
+def _hw_parity_np(q: int = 4):
+    """(2,2,4) P[sh,sw,(ph*2+pw)] = delta — pack step-1 parity selector."""
+    p = np.zeros((2, 2, 4), np.float32)
+    for ph in (0, 1):
+        for pw in (0, 1):
+            p[ph, pw, ph * 2 + pw] = 1.0
+    return p
+
+
+@functools.lru_cache(maxsize=None)
+def _d_parity_np(co4: int):
+    """(2,1,co4,2*co4): S[sd,0,j, sd*co4+j] = 1 — pack step-2: D parity into
+    the (pd) channel block."""
+    s = np.zeros((2, 1, co4, 2 * co4), np.float32)
+    idx = np.arange(co4)
+    for sd in range(2):
+        s[sd, 0, idx, sd * co4 + idx] = 1.0
+    return s
+
+
+def _conv2d(x, w, strides, padding):
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def interleave2x(z, co: int):
+    """(B, D8, H8, W8, 8*co) packed (pd,ph,pw,co) -> (B, 2D8, 2H8, 2W8, co)."""
+    b, d8, h8, w8, _ = z.shape
+    z = z.reshape(b, d8, h8, w8, 2, 2, 2, co)
+    z = z.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return z.reshape(b, 2 * d8, 2 * h8, 2 * w8, co)
+
+
+def pack2x_pointwise(x, w=None, bias=None):
+    """Packed space-to-depth of `pointwise_conv(x, w) + bias` on the conv
+    path. x: (B, D, H, W, Ci), D/H/W even; w: (Ci, Co) or None (identity
+    pack, Co=Ci); bias: (Co,) or None. Returns (B, D/2, (H/2)*(W/2), 8*Co)
+    with channel order (pd, ph, pw, co)."""
+    b, d, h, wd, ci = x.shape
+    if w is None:
+        w = jnp.eye(ci, dtype=x.dtype)
+    co = w.shape[1]
+    p = jnp.asarray(_hw_parity_np(), x.dtype)  # (2,2,4)
+    wp = jnp.einsum("abq,io->abiqo", p, w.astype(x.dtype))
+    wp = wp.reshape(2, 2, ci, 4 * co)
+    z = _conv2d(x.reshape(b * d, h, wd, ci), wp, (2, 2), ((0, 0), (0, 0)))
+    z = z.reshape(b, d, (h // 2) * (wd // 2), 4 * co)
+    s2 = jnp.asarray(_d_parity_np(4 * co), x.dtype)  # (2,1,4co,8co)
+    z = jax.lax.conv_general_dilated(
+        z, s2, (2, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, D/2, H8*W8, 8co)
+    if bias is not None:
+        z = z + jnp.tile(bias.astype(jnp.float32), 8).astype(z.dtype)
+    return z
+
+
+def deconv2x_flat(
+    y,
+    w,
+    scale: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    packed_residual: Optional[jnp.ndarray] = None,
+    post_packed_add: Optional[jnp.ndarray] = None,
+    relu: bool = False,
+):
+    """2x transposed conv (k3 s2 p1 op1, TorchConvTranspose geometry) of
+    y: (B, D8, H8, W8, Ci) with kernel w: (3,3,3,Ci,Co), returning
+    (B, 2*D8, 2*H8, 2*W8, Co).
+
+    scale/bias: folded eval-BN affine (f32, per Co) — scale into the kernel
+    before the dtype cast, bias injected once via the step-1 sd=0 block.
+    packed_residual: (B, D8, H8*W8, 8*Co) added INSIDE (pre-relu), i.e.
+    relu(deconv + residual) — the MultiAggregation redir path.
+    post_packed_add: same shape, added AFTER the relu (the model-level
+    `cost0 + agg` residual).
+    """
+    b, d8, h8, w8, ci = y.shape
+    co = w.shape[4]
+    if scale is not None:
+        w = w * scale.astype(w.dtype)
+    wflat = _subpixel_weights(w).astype(y.dtype)  # (2,2,ci,16co)
+    y1 = _conv2d(y.reshape(b * d8, h8, w8, ci), wflat, (1, 1), ((0, 1), (0, 1)))
+    y1 = y1.reshape(b, d8, h8 * w8, 16 * co)
+
+    inj = None
+    if bias is not None:
+        inj = jnp.tile(bias.astype(jnp.float32), 8)  # (8co,) once per cell
+    if packed_residual is not None:
+        pr = packed_residual
+        inj = pr if inj is None else pr + inj.astype(pr.dtype)
+    if inj is not None:
+        if inj.ndim == 1:
+            inj = jnp.concatenate([inj, jnp.zeros_like(inj)]).astype(y1.dtype)
+            y1 = y1 + inj
+        else:
+            y1 = y1 + jnp.pad(
+                inj.astype(y1.dtype),
+                ((0, 0), (0, 0), (0, 0), (0, 8 * co)),
+            )
+
+    sel = jnp.asarray(_sd_select_np(8 * co), y1.dtype)
+    z = jax.lax.conv_general_dilated(
+        y1, sel, (1, 1), ((0, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, D8, H8*W8, 8co)
+    if relu:
+        z = jax.nn.relu(z)
+    if post_packed_add is not None:
+        z = z + post_packed_add.astype(z.dtype)
+    return interleave2x(z.reshape(b, d8, h8, w8, 8 * co), co)
+
+
+def supports_deconv2x_flat(x_shape) -> bool:
+    """x_shape: the deconv INPUT (B, D8, H8, W8, Ci)."""
+    return len(x_shape) == 5 and all(s >= 1 for s in x_shape[1:4])

@@ -160,17 +160,21 @@ class DCANet(nn.Module):
         cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(volume, train)
         cost0 = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
         y = ConvBNAct(c, 3, 1, 1, dims=3, dtype=self.dtype)(cost0, train)
-        y = ConvBN(c, 3, 1, 1, dims=3, dtype=self.dtype)(y, train)
-        cost0 = self._constrain(y + cost0)
+        # residual threaded into the conv epilogue (kd-fold center-block
+        # injection on the folded-eval path; plain add otherwise)
+        y = ConvBN(c, 3, 1, 1, dims=3, dtype=self.dtype)(y, train, residual=cost0)
+        cost0 = self._constrain(y)
 
         # CVA chain; residual add only after the first block
-        # (gwcnet_dca_g.py:228-232)
+        # (gwcnet_dca_g.py:228-232), fused into the CVA's packed epilogue
         outs = [cost0]
         cva_logits = []
         out = cost0
         for i in range(1, self.num_cva + 1):
-            logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(out, train)
-            out = self._constrain(cost0 + agg if i == 1 else agg)
+            logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(
+                out, train, post_residual=cost0 if i == 1 else None
+            )
+            out = self._constrain(agg)
             cva_logits.append(logits)
             outs.append(out)
 

@@ -32,21 +32,68 @@ def _deconv_bn(deconv, bn, x, features, train):
 
 
 class MultiAggregation(nn.Module):
-    """conv(s2) -> conv -> deconv(2x)+BN, residual 1x1x1 redir, relu."""
+    """conv(s2) -> conv -> deconv(2x)+BN, residual 1x1x1 redir, relu.
+
+    `post_residual` is an output-shaped volume added AFTER the relu — the
+    model-level `cost0 + agg` residual (gwcnet_dca_g.py:228) threaded in so
+    the folded-eval path can do the add in the deconv's packed domain
+    (kernels/deconv3d.py: post-interleave adds cost ~2.3 ms of relayout
+    copies; the packed add + one pack2x costs ~0.5 ms)."""
 
     channels: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, post_residual=None):
         c = self.channels
         y = ConvBNAct(c * 2, 3, 2, 1, dims=3, dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNAct(c * 2, 3, 1, 1, dims=3, dtype=self.dtype, name="conv2")(y, train)
         deconv = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv3")
         bn = BatchNorm(dtype=self.dtype, name="conv3_bn")
+        redir = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="redir")
+
+        import jax
+        import os
+
+        # DCANET_DECONV_SUBPIXEL=1 enables the packed subpixel tail. In
+        # ISOLATION it wins (4.40 vs 5.45 ms at the bench shape) but at the
+        # MODEL level it loses 4 ms (70.8 vs 66.6 ms eval): the interleaved
+        # output hands its consumers (next CVA's avgpool/fuse, classif
+        # heads) a conv-hostile layout and XLA re-inserts the relayout
+        # copies downstream. Default OFF until consumers can eat the packed
+        # layout directly; the plain path still gets the residual fusions.
+        knob = os.environ.get("DCANET_DECONV_SUBPIXEL", "0")
+        fused = (
+            not train
+            and fold_eval_bn_enabled(self.dtype)
+            and knob == "1"
+            and all(s % 2 == 0 for s in x.shape[1:4])
+        )
+        if fused:
+            from dcanet_tpu.kernels.deconv3d import (
+                deconv2x_flat,
+                pack2x_pointwise,
+            )
+
+            wk = deconv(y, kernel_only=True)
+            s1, b1 = bn(c, train, fold=True)
+            wr, s2, b2 = redir(x, train, fold_params=True)
+            # redir is 1x1x1: kernel (1,1,1,C,C) -> (C,C), BN scale folded in
+            wr2 = wr.reshape(wr.shape[-2], wr.shape[-1]) * s2.astype(wr.dtype)
+            xp = pack2x_pointwise(x, wr2.astype(x.dtype), bias=b2)
+            post = (
+                pack2x_pointwise(post_residual)
+                if post_residual is not None
+                else None
+            )
+            return deconv2x_flat(
+                y, wk, scale=s1, bias=b1, packed_residual=xp,
+                post_packed_add=post, relu=True,
+            )
+
         y = _deconv_bn(deconv, bn, y, c, train)
-        redir = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="redir")(x, train)
-        return nn.relu(y + redir)
+        out = nn.relu(y + redir(x, train))
+        return out if post_residual is None else out + post_residual
 
 
 class Hourglass3D(nn.Module):

@@ -53,8 +53,14 @@ class CVA(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, cost_volume, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, cost_volume, train: bool, post_residual=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (class_logits, aggregated_cost).
+
+        `post_residual` is added to aggregated_cost (the model-level
+        `cost0 + agg` residual), fused into MultiAggregation's packed
+        epilogue on the folded-eval path.
 
         class_logits: (B, D', H', W') raw disparity-classification logits at
         the (possibly 2x-downsampled) resolution — callers upsample + softmax
@@ -91,5 +97,7 @@ class CVA(nn.Module):
         fused = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="fuse")(
             (augmented, cost_volume), train
         )
-        aggregated = MultiAggregation(c, dtype=self.dtype, name="cost_agg")(fused, train)
+        aggregated = MultiAggregation(c, dtype=self.dtype, name="cost_agg")(
+            fused, train, post_residual=post_residual
+        )
         return logits, aggregated

@@ -73,13 +73,21 @@ class Conv(nn.Conv):
     """
 
     @nn.compact
-    def __call__(self, x, epilogue=None):
+    def __call__(self, x, epilogue=None, residual=None, kernel_only=False):
         """`epilogue=(scale, bias)` (per-out-channel, f32) applies a folded
         affine (eval-mode BN): scale is multiplied into the f32 kernel BEFORE
         the compute-dtype cast (free, one rounding), bias is fused into the
         conv epilogue (kd-fold path: injected into the step-1 output's kd=1
         block; other paths: a plain post-conv add, which XLA fuses on single
-        convs)."""
+        convs).
+
+        `residual` (output-shaped tensor) is added to the conv output; on the
+        kd-fold path it rides the center-block injection slot (saves ~0.6 ms
+        per seam vs a plain add — kernels/conv3d.py docstring).
+
+        `kernel_only=True` registers and returns the raw f32 kernel param
+        without computing — for callers that fuse this conv's weights into a
+        composite kernel (e.g. the MultiAggregation packed tail)."""
 
         def dims(v, n):
             if v is None:
@@ -112,6 +120,8 @@ class Conv(nn.Conv):
 
         kernel_shape = ks + (in_features, self.features)
         kernel = self.param("kernel", self.kernel_init, kernel_shape, self.param_dtype)
+        if kernel_only:
+            return kernel
         bias = (
             self.param("bias", self.bias_init, (self.features,), self.param_dtype)
             if self.use_bias
@@ -214,11 +224,18 @@ class Conv(nn.Conv):
                 k = jnp.pad(kernel, ((0, 0),) * (kernel.ndim - 1) + ((0, co_pad),))
                 if kd_bias is not None:
                     kd_bias = jnp.pad(kd_bias, ((0, co_pad),))
+            inject = (
+                residual
+                if residual is not None and strides == (1, 1, 1) and not co_pad
+                else None
+            )
             y = conv3d_kdfold(
                 parts if parts is not None else x, k, strides=strides,
-                bias=kd_bias,
+                bias=kd_bias, residual=inject,
             )
             e_bias = None  # fused into the step-1 epilogue
+            if inject is not None:
+                residual = None  # consumed
             if co_pad:
                 y = y[..., : self.features]
         elif fast2:
@@ -240,6 +257,8 @@ class Conv(nn.Conv):
             y = y + bias
         if e_bias is not None:
             y = y + e_bias.astype(y.dtype)
+        if residual is not None:
+            y = y + residual.astype(y.dtype)
         return y
 
 
@@ -296,7 +315,12 @@ class ConvBN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, residual=None, fold_params=False):
+        """`residual` is added AFTER the BN (out = BN(conv(x)) + residual);
+        on the folded-eval path it is injected into the conv epilogue.
+        `fold_params=True` (eval only) registers the params and returns
+        `(kernel_f32, scale, bias)` for callers that fuse this ConvBN into a
+        composite kernel instead of running it."""
         n = self.dims
         pad = _tuple(self.padding, n)
         conv = Conv(
@@ -310,9 +334,18 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
         )
         bn = BatchNorm(dtype=self.dtype)
+        if fold_params:
+            assert not train and not self.use_bias
+            kernel = conv(x, kernel_only=True)
+            scale, bias = bn(self.features, train, fold=True)
+            return kernel, scale, bias
         if not train and fold_eval_bn_enabled(self.dtype):
-            return conv(x, epilogue=bn(self.features, train, fold=True))
-        return bn(conv(x), train)
+            return conv(
+                x, epilogue=bn(self.features, train, fold=True),
+                residual=residual,
+            )
+        y = bn(conv(x), train)
+        return y if residual is None else y + residual
 
 
 class ConvBNAct(nn.Module):
@@ -484,7 +517,7 @@ class TorchConvTranspose(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, epilogue=None):
+    def __call__(self, x, epilogue=None, kernel_only=False):
         n = self.dims
         in_features = x.shape[-1]
         k = self.kernel
@@ -492,6 +525,8 @@ class TorchConvTranspose(nn.Module):
         pad_hi = pad_lo + self.output_padding
         kernel_shape = (k,) * n + (in_features, self.features)
         w = self.param("kernel", reference_conv_init, kernel_shape)
+        if kernel_only:
+            return w
         e_bias = None
         if epilogue is not None:
             e_scale, e_bias = epilogue
