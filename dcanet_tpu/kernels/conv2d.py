@@ -51,10 +51,14 @@ def supports_khfold(x_shape, w_shape, strides=(1, 1)) -> bool:
     return co % 8 == 0 and co <= 32 and ci >= 8 and x_shape[1] >= 2
 
 
-def conv2d_khfold(x, w, strides=(1, 1), bias=None):
+def conv2d_khfold(x, w, strides=(1, 1), bias=None, residual=None):
     """3x3 SAME (pad 1) conv, stride 1 or 2: (B,H,W,C) x (3,3,C,Co) ->
     (B,H',W',Co), fully XLA-differentiable. Optional fused per-channel
-    `bias` (f32) via the kh=1 step-1 block."""
+    `bias` (f32) via the kh=1 step-1 block; `residual` (output-shaped,
+    stride-1 only) rides the same block as a full tensor — the BasicBlock
+    residual add was exactly the seam that made kh-fold LOSE in-model at r2
+    (tools/profile_feature.py: 7.7 vs 6.6 ms) despite the 2.3x isolated
+    win."""
     co = w.shape[3]
     w1 = jnp.concatenate([w[0], w[1], w[2]], axis=-1)[None]  # (1,3,C,3Co)
     y = jax.lax.conv_general_dilated(
@@ -64,6 +68,11 @@ def conv2d_khfold(x, w, strides=(1, 1), bias=None):
     if bias is not None:
         zero = jnp.zeros((co,), jnp.float32)
         y = y + jnp.concatenate([zero, bias.astype(jnp.float32), zero]).astype(y.dtype)
+    if residual is not None:
+        assert strides == (1, 1), "residual injection needs stride 1"
+        y = y + jnp.pad(
+            residual.astype(y.dtype), ((0, 0), (0, 0), (0, 0), (co, co))
+        )
     sel = jnp.asarray(_kh_select_np(co), y.dtype)
     return jax.lax.conv_general_dilated(
         y, sel, (strides[0], 1), [(1, 1), (0, 0)],

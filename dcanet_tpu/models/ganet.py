@@ -19,12 +19,12 @@ Train mode deep-supervises one soft-argmin disparity per SGA stage
 (full-res trilinear cost upsampling, as GANet's DisparityRegression +
 my CUDA-free GwcNetBaseline heads do).
 
-Documented deviation from the cited recipe: the reference normalizes the 5
-SGA scan-tap weights with SIGNED L1 (MyNormalize, modules/GANet.py — weights
-may be negative); the composed SGABlock here softmax-normalizes them
-(positive, sum-1) for scan stability on TPU (nn/ganet.py SGABlock). Weight
-semantics therefore differ from GANet checkpoints; parity with GANet weights
-would need an L1 option there.
+SGA tap normalization: the default softmax-normalizes the 5 scan-tap
+weights (positive, sum-1) for scan stability on TPU; `sga_normalize="l1"`
+switches to the reference's SIGNED L1 MyNormalize semantics
+(modules/GANet.py:18-33, reproduced exactly in nn/ganet.my_normalize,
+torch-verified in tests/test_ganet_blocks.py) so GANet-lineage checkpoint
+weights keep their meaning.
 """
 
 from __future__ import annotations
@@ -59,6 +59,7 @@ class GANetStereo(nn.Module):
     num_groups: int = 40
     concat_channels: int = 12
     base_channels: int = 32
+    sga_normalize: str = "softmax"  # or "l1" (MyNormalize parity)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -90,7 +91,9 @@ class GANetStereo(nn.Module):
 
         aux = []
         for i in range(self.num_sga):
-            agg = SGABlock(dtype=self.dtype, name=f"sga{i}")(cost, guidance, train)
+            agg = SGABlock(
+                normalize=self.sga_normalize, dtype=self.dtype, name=f"sga{i}"
+            )(cost, guidance, train)
             cost = cost + agg
             # aux heads are constructed unconditionally so train/eval inits
             # yield identical param trees (an eval-initialized checkpoint

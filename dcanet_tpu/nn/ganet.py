@@ -25,6 +25,17 @@ from dcanet_tpu.nn.layers import ConvBNAct, reference_conv_init
 from dcanet_tpu.ops.sga import lga3d, sga_aggregate
 
 
+def my_normalize(x, axis: int = -1):
+    """Signed L1 normalization, exact MyNormalize semantics (reference
+    models/libs/GANet/modules/GANet.py:18-33): divide by sum(|x|) with a
+    sign-following 1e-6 guard — the in-place torch edits leave norm>0 at
+    norm+1e-6 and norm==0 at -1e-6 (the second masked write reads the
+    already-modified tensor, so a zero norm stays negative)."""
+    norm = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    norm = jnp.where(norm > 0, norm + 1e-6, norm - 1e-6)
+    return x / norm
+
+
 class SGABlock(nn.Module):
     """Semi-global aggregation of a cost volume guided by image features.
 
@@ -33,6 +44,11 @@ class SGABlock(nn.Module):
     """
 
     hidden: int = 32
+    # "softmax": positive sum-1 taps (scan-stable default). "l1": SIGNED L1
+    # normalization reproducing the reference's MyNormalize
+    # (models/libs/GANet/modules/GANet.py:18-33) exactly — taps may be
+    # negative; needed to ingest GANet-lineage checkpoints.
+    normalize: str = "softmax"
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -45,7 +61,9 @@ class SGABlock(nn.Module):
             4 * 5, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=reference_conv_init, dtype=self.dtype,
         )(g).reshape(b, h, w, 4, 5)
-        weights = nn.softmax(logits, axis=-1)  # normalize the 5 taps per dir
+        weights = my_normalize(logits) if self.normalize == "l1" else nn.softmax(
+            logits, axis=-1
+        )
 
         agg = jax.vmap(
             lambda vol: sga_aggregate(vol, weights), in_axes=-1, out_axes=-1

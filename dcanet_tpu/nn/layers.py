@@ -239,8 +239,13 @@ class Conv(nn.Conv):
             if co_pad:
                 y = y[..., : self.features]
         elif fast2:
-            y = conv2d_khfold(x, kernel, strides=strides, bias=e_bias)
+            inject2 = residual if residual is not None and strides == (1, 1) else None
+            y = conv2d_khfold(
+                x, kernel, strides=strides, bias=e_bias, residual=inject2
+            )
             e_bias = None
+            if inject2 is not None:
+                residual = None  # consumed
         else:
             if parts is not None:
                 x = jnp.concatenate(parts, axis=-1)
@@ -391,9 +396,6 @@ class BasicBlock(nn.Module):
             self.planes, 3, self.strides, pad, self.dilation, dims=2,
             dtype=self.dtype,
         )(x, train)
-        out = ConvBN(
-            self.planes, 3, 1, pad, self.dilation, dims=2, dtype=self.dtype
-        )(out, train)
         if self.strides != 1 or in_planes != self.planes:
             conv_d = Conv(
                 self.planes, (1, 1), strides=(self.strides, self.strides),
@@ -405,7 +407,11 @@ class BasicBlock(nn.Module):
                 x = conv_d(x, epilogue=bn_d(self.planes, train, fold=True))
             else:
                 x = bn_d(conv_d(x), train)
-        return out + x
+        # the residual rides the second conv's epilogue (kh-fold center-block
+        # injection on the 2D fast path; plain add otherwise)
+        return ConvBN(
+            self.planes, 3, 1, pad, self.dilation, dims=2, dtype=self.dtype
+        )(out, train, residual=x)
 
 
 class BasicConv(nn.Module):

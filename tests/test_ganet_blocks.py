@@ -97,3 +97,41 @@ def test_ganet_eval_init_tree_matches_train_init():
                   for i in range(len(jax.tree.leaves(v_eval["params"]))))
     assert paths_t == paths_e
     assert any("classif_sga0" in str(p) for p in paths_e)
+
+
+def test_my_normalize_matches_torch_reference(rng):
+    """my_normalize == the reference MyNormalize forward (signed L1 with the
+    sign-following 1e-6 guard), reproduced here in torch including the
+    sequential in-place masked writes (modules/GANet.py:18-33)."""
+    import torch
+
+    from dcanet_tpu.nn.ganet import my_normalize
+
+    x = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    x[0, 0] = 0.0  # exercise the zero-norm branch
+
+    xt = torch.from_numpy(x)
+    norm = torch.sum(torch.abs(xt), -1)
+    norm[norm <= 0] = norm[norm <= 0] - 1e-6
+    norm[norm >= 0] = norm[norm >= 0] + 1e-6
+    want = (xt / torch.unsqueeze(norm, -1)).numpy()
+
+    got = np.asarray(my_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_sga_l1_normalize_option(rng):
+    """SGABlock(normalize='l1') runs and differs from the softmax flavor on
+    the same params (signed taps reach the scan)."""
+    from dcanet_tpu.nn.ganet import SGABlock
+
+    cost = jnp.asarray(rng.standard_normal((1, 4, 6, 8, 4)), jnp.float32)
+    gfeat = jnp.asarray(rng.standard_normal((1, 6, 8, 16)), jnp.float32)
+    m_soft = SGABlock()
+    m_l1 = SGABlock(normalize="l1")
+    v = m_soft.init(jax.random.PRNGKey(0), cost, gfeat, False)
+    a = m_soft.apply(v, cost, gfeat, False)
+    b = m_l1.apply(v, cost, gfeat, False)
+    assert a.shape == b.shape == cost.shape
+    assert np.isfinite(np.asarray(b)).all()
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4

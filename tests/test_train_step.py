@@ -124,3 +124,40 @@ def test_kitti_preset_sparse_gt():
     cfg = LossConfig(max_disp=MAXDISP, preset="kitti", sparse=True)
     state, metrics = train_step(state, batch, cfg)
     assert np.isfinite(float(metrics["total"]))
+
+
+@pytest.mark.slow
+def test_overfit_synthetic_pair_to_subpixel_epe():
+    """Trainability proof (VERDICT r2 #7): overfit ONE fixed synthetic stereo
+    pair — right image = left shifted by a constant disparity — until EPE is
+    sub-pixel. Catches optimizer/BN/loss-scale bugs that a loss-decreases
+    test cannot (a silently crippled optimizer still 'decreases')."""
+    gt_disp = 6.0
+    key = jax.random.PRNGKey(42)
+    # smooth left image so the shifted right is well-correlated at 1/4 res
+    base = jax.random.normal(key, (1, H, W // 8, 3), jnp.float32)
+    left = jax.image.resize(base, (1, H, W, 3), "linear")
+    right = jnp.roll(left, -int(gt_disp), axis=2)
+    valid = jnp.ones((1, H, W), jnp.float32)
+    batch = {
+        "left": left,
+        "right": right,
+        "disparity": jnp.full((1, H, W), gt_disp, jnp.float32),
+    }
+
+    model = DCANet(maxdisp=MAXDISP, num_cva=1)
+    state = create_train_state(
+        model, key, left, right, optax.adam(1e-3)
+    )
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+
+    epe = None
+    for step in range(300):
+        state, metrics = train_step(state, batch, cfg)
+        if step % 50 == 49:
+            em = eval_step(state, batch, cfg)
+            epe = float(em["epe"])
+            if epe < 0.5:
+                break
+    assert epe is not None and np.isfinite(epe)
+    assert epe < 1.0, f"failed to overfit: EPE={epe}"

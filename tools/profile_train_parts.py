@@ -35,16 +35,23 @@ def main():
     left = jax.random.normal(kl, (b, h, w, c), cdtype)
     right = jax.random.normal(kr, (b, h, w, c), cdtype)
 
+    # NB: the loss must be NONLINEAR in the volume: with a plain sum, dvol
+    # is all-ones and d/dleft depends only on `right` — which device_time's
+    # scan does not salt, so XLA hoists the whole backward out of the timing
+    # loop ("gwc fwd+bwd: 0.03 ms" — a measured artifact, not speed).
     def loss_pallas(l, r):
-        return jnp.sum(build_gwc_volume_pallas(l, r, d, 40).astype(jnp.float32))
+        v = build_gwc_volume_pallas(l, r, d, 40).astype(jnp.float32)
+        return 0.5 * jnp.sum(v * v)
 
     def loss_xla(l, r):
-        return jnp.sum(build_gwc_volume(l, r, d, 40).astype(jnp.float32))
+        v = build_gwc_volume(l, r, d, 40).astype(jnp.float32)
+        return 0.5 * jnp.sum(v * v)
 
     for name, fn in (("pallas", loss_pallas), ("xla", loss_xla)):
         t = device_time(jax.jit(fn), left, right, iters=10)
         print(f"gwc fwd ({name}):          {t*1e3:8.2f} ms", flush=True)
-        g = jax.jit(jax.grad(fn, argnums=(0, 1)))
+        grad = jax.grad(fn, argnums=(0, 1))
+        g = jax.jit(lambda l, r: sum(grad(l, r)))  # keep BOTH grads live
         t = device_time(g, left, right, iters=10)
         print(f"gwc fwd+bwd ({name}):      {t*1e3:8.2f} ms", flush=True)
 

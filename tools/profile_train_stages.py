@@ -1,0 +1,122 @@
+"""Per-stage fwd vs fwd+bwd train timings + batch sweep (VERDICT r2 #4).
+
+Stages at the train shape (256x512 crops -> 1/4-res volume (D=48, 64x128)),
+bf16 compute: feature extractor, dres chain, one CVA, full train step.
+Then a batch sweep (2/4/8) of the full train step for pairs/sec/chip.
+
+Usage: python tools/profile_train_stages.py [--sweep-only]
+Recorded results live in TODO.md / BENCH_TRAIN.json.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_dcanet")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from dcanet_tpu.utils.profiling import device_time
+
+B, H, W = 2, 256, 512
+DT = jnp.bfloat16
+
+
+def stage_timings():
+    import optax
+
+    from dcanet_tpu.models import DCANet
+    from dcanet_tpu.nn.aggregation import MultiAggregation
+    from dcanet_tpu.nn.cva import CVA
+    from dcanet_tpu.nn.feature import FeatureExtractor
+    from dcanet_tpu.nn.layers import ConvBN, ConvBNAct
+    from flax import linen as nn
+
+    key = jax.random.PRNGKey(0)
+
+    def fwd_bwd(label, mod, x, extra=()):
+        v = jax.jit(lambda k, xx: mod.init(k, xx, *extra, True))(
+            key, x[(slice(None), slice(0, 8), slice(0, 8))]
+            if x.ndim == 4
+            else x[:, :8, :8, :16]
+        )
+
+        def f(xx):
+            out, _ = mod.apply(v, xx, *extra, True, mutable=["batch_stats"])
+            first = jax.tree.leaves(out)[0].astype(jnp.float32)
+            return 0.5 * jnp.sum(first * first) * 1e-6
+
+        tf = device_time(jax.jit(f), x, iters=8)
+        tg = device_time(jax.jit(jax.grad(f)), x, iters=8)
+        print(f"{label:<26s} fwd {tf*1e3:7.2f} ms   fwd+bwd {tg*1e3:7.2f} ms",
+              flush=True)
+
+    img = jax.random.normal(key, (2 * B, H, W, 3), jnp.float32)
+    fwd_bwd("features (stacked pair)", FeatureExtractor(dtype=DT), img)
+
+    class Dres(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            c0 = ConvBNAct(32, 3, 1, 1, dims=3, dtype=DT)(x, train)
+            c0 = ConvBNAct(32, 3, 1, 1, dims=3, dtype=DT)(c0, train)
+            y = ConvBNAct(32, 3, 1, 1, dims=3, dtype=DT)(c0, train)
+            return ConvBN(32, 3, 1, 1, dims=3, dtype=DT)(y, train, residual=c0)
+
+    vol = jax.random.normal(key, (B, 48, H // 4, W // 4, 64), DT)
+    fwd_bwd("dres0+dres1 (on 64ch)", Dres(), vol)
+
+    cvol = jax.random.normal(key, (B, 48, H // 4, W // 4, 32), DT)
+    fwd_bwd("one CVA block", CVA(32, dtype=DT), cvol)
+    fwd_bwd("MultiAggregation", MultiAggregation(32, dtype=DT), cvol)
+
+
+def sweep():
+    import optax
+
+    from dcanet_tpu.models import DCANet
+    from dcanet_tpu.train.loop import LossConfig, train_step
+    from dcanet_tpu.train.state import create_train_state
+
+    cfg = LossConfig(max_disp=192, preset="sceneflow")
+    for b in (2, 4, 8):
+        key = jax.random.PRNGKey(0)
+        model = DCANet(maxdisp=192, num_cva=3, dtype=DT)
+        batch = {
+            "left": jax.random.normal(key, (b, H, W, 3), jnp.float32),
+            "right": jax.random.normal(key, (b, H, W, 3), jnp.float32),
+            "disparity": jax.random.uniform(key, (b, H, W), jnp.float32, 1.0, 190.0),
+        }
+        try:
+            state = create_train_state(
+                model, key, batch["left"][:1], batch["right"][:1],
+                optax.adam(1e-3),
+            )
+            # keep the WHOLE updated state live (summing only the loss would
+            # let XLA DCE the backward + optimizer update)
+            def f(l):
+                s2, m = train_step(state, {**batch, "left": l}, cfg)
+                psum = sum(
+                    jnp.sum(p).astype(jnp.float32)
+                    for p in jax.tree.leaves(s2.params)
+                )
+                return m["total"].astype(jnp.float32) + psum * 1e-9
+
+            t = device_time(jax.jit(f), batch["left"], iters=6)
+            print(
+                f"batch {b}: step {t*1e3:7.2f} ms  "
+                f"{b/t:7.2f} pairs/sec/chip", flush=True,
+            )
+        except Exception as e:  # OOM etc.
+            print(f"batch {b}: FAILED ({type(e).__name__}: {str(e)[:120]})",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    if "--sweep-only" not in sys.argv:
+        stage_timings()
+    sweep()
