@@ -131,7 +131,7 @@ def interleave2x(z, co: int):
 def pack2x_pointwise(x, w=None, bias=None):
     """Packed space-to-depth of `pointwise_conv(x, w) + bias` on the conv
     path. x: (B, D, H, W, Ci), D/H/W even; w: (Ci, Co) or None (identity
-    pack, Co=Ci); bias: (Co,) or None. Returns (B, D/2, (H/2)*(W/2), 8*Co)
+    pack, Co=Ci); bias: (Co,) or None. Returns (B, D/2, H/2, W/2, 8*Co)
     with channel order (pd, ph, pw, co)."""
     b, d, h, wd, ci = x.shape
     if w is None:
@@ -149,7 +149,105 @@ def pack2x_pointwise(x, w=None, bias=None):
     )  # (B, D/2, H8*W8, 8co)
     if bias is not None:
         z = z + jnp.tile(bias.astype(jnp.float32), 8).astype(z.dtype)
-    return z
+    return z.reshape(b, d // 2, h // 2, wd // 2, 8 * co)
+
+
+def packed_pointwise(z, w, bias=None):
+    """Pointwise conv INSIDE the packed domain: z (B, D8, H8, W8, 8*Ci),
+    w (Ci, Co) -> (B, D8, H8, W8, 8*Co). A pointwise conv commutes with the
+    space-to-depth rearrangement. Computed as ONE flat matmul against the
+    block-diagonal (8Ci, 8Co) kernel: 8x the FLOPs of the per-block einsum
+    but a single 256-lane GEMM with no minor-dim split — the einsum's
+    (..., 8, Ci) reshape measured +0.6 ms of relayout in composition."""
+    b, d8, h8, w8, c8 = z.shape
+    ci = c8 // 8
+    co = w.shape[1]
+    kbd = jax.scipy.linalg.block_diag(*([w.astype(z.dtype)] * 8))  # (8ci, 8co)
+    y = jax.lax.dot_general(
+        z.reshape(-1, c8), kbd, (((1,), (0,)), ((), ()))
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(jnp.float32), 8).astype(y.dtype)
+    return y.reshape(b, d8, h8, w8, 8 * co)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2_tap_np():
+    """T[s, p, t]: stride-2 kernel-3 conv reading a 2x-packed axis — window
+    cell offset s (0 = cell i-1, 1 = cell i), input parity p, original
+    kernel tap t. Derivation: out[i] = sum_t w[t] x[2i+t-1]; x[2i-1] =
+    (cell i-1, parity 1), x[2i] = (i, 0), x[2i+1] = (i, 1)."""
+    t = np.zeros((2, 2, 3), np.float32)
+    t[0, 1, 0] = 1.0
+    t[1, 0, 1] = 1.0
+    t[1, 1, 2] = 1.0
+    return t
+
+
+def _from_packed_weights(w):
+    """(3,3,3,Ci,Co) -> (2, 2, 8*Ci, 2*Co) flat step-1 weight for a stride-2
+    conv consuming a packed volume: channel blocks (pd,ph,pw,ci) in,
+    (sd, co) out."""
+    ci, co = w.shape[3], w.shape[4]
+    t = jnp.asarray(_s2_tap_np(), w.dtype)
+    # [sh,sw,pd,ph,pw,ci,sd,co]
+    w1 = jnp.einsum("apt,bqu,crv,tuvio->bcpqriao", t, t, t, w)
+    return w1.reshape(2, 2, 8 * ci, 2 * co)
+
+
+def conv3d_s2_from_packed(z, w, bias=None, relu: bool = False):
+    """3x3x3 stride-2 SAME conv consuming a PACKED volume: z
+    (B, D8, H8, W8, 8*Ci) [packed 2x of a (B, D, H, W, Ci) volume] with
+    kernel w (3,3,3,Ci,Co) -> (B, D8, H8, W8, Co), the half-res output the
+    plain stride-2 conv would produce. K = 4 window cells x 8*Ci channels
+    (256-lane dense), N = 2*Co — the packed volume never unpacks.
+
+    `bias` is injected once per output cell via the sd=1 step-2 block
+    (every output reads that block exactly once); `relu` applies after."""
+    b, d8, h8, w8, c8 = z.shape
+    ci = c8 // 8
+    co = w.shape[4]
+    w1 = _from_packed_weights(w).astype(z.dtype)
+    y1 = _conv2d(z.reshape(b * d8, h8, w8, c8), w1, (1, 1), ((1, 0), (1, 0)))
+    y1 = y1.reshape(b, d8, h8 * w8, 2 * co)
+    if bias is not None:
+        bvec = jnp.concatenate(
+            [jnp.zeros((co,), jnp.float32), bias.astype(jnp.float32)]
+        )
+        y1 = y1 + bvec.astype(y1.dtype)
+    sel = jnp.asarray(_sd_select_np(co), y1.dtype)  # (2,1,2co,co)
+    out = jax.lax.conv_general_dilated(
+        y1, sel, (1, 1), ((1, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = out.reshape(b, d8, h8, w8, co)
+    return jax.nn.relu(out) if relu else out
+
+
+def avgpool2x_from_packed(z):
+    """AvgPool3d(3, stride 2, padding 1, count_include_pad) of the UNPACKED
+    volume, computed directly from its packed form: z (B, D8, H8, W8, 8*C)
+    -> (B, D8, H8, W8, C). The pool is linear, so it is the depthwise
+    special case of conv3d_s2_from_packed with identity/27 taps."""
+    c = z.shape[-1] // 8
+    ones = jnp.full((3, 3, 3), 1.0 / 27.0, z.dtype)
+    t = jnp.asarray(_s2_tap_np(), z.dtype)
+    eye = jnp.eye(c, dtype=z.dtype)
+    # [sh,sw,pd,ph,pw,ci,sd,co] with ci==co diagonal
+    w1 = jnp.einsum("apt,bqu,crv,tuv,io->bcpqriao", t, t, t, ones, eye)
+    b, d8, h8, w8, c8 = z.shape
+    y1 = _conv2d(
+        z.reshape(b * d8, h8, w8, c8),
+        w1.reshape(2, 2, 8 * c, 2 * c),
+        (1, 1), ((1, 0), (1, 0)),
+    )
+    y1 = y1.reshape(b, d8, h8 * w8, 2 * c)
+    sel = jnp.asarray(_sd_select_np(c), y1.dtype)
+    out = jax.lax.conv_general_dilated(
+        y1, sel, (1, 1), ((1, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(b, d8, h8, w8, c)
 
 
 def deconv2x_flat(
@@ -160,14 +258,17 @@ def deconv2x_flat(
     packed_residual: Optional[jnp.ndarray] = None,
     post_packed_add: Optional[jnp.ndarray] = None,
     relu: bool = False,
+    interleave: bool = True,
 ):
     """2x transposed conv (k3 s2 p1 op1, TorchConvTranspose geometry) of
     y: (B, D8, H8, W8, Ci) with kernel w: (3,3,3,Ci,Co), returning
-    (B, 2*D8, 2*H8, 2*W8, Co).
+    (B, 2*D8, 2*H8, 2*W8, Co) — or, with `interleave=False`, the PACKED
+    (B, D8, H8, W8, 8*Co) form for consumers that stay in the packed
+    dialect.
 
     scale/bias: folded eval-BN affine (f32, per Co) — scale into the kernel
     before the dtype cast, bias injected once via the step-1 sd=0 block.
-    packed_residual: (B, D8, H8*W8, 8*Co) added INSIDE (pre-relu), i.e.
+    packed_residual: (B, D8, H8, W8, 8*Co) added INSIDE (pre-relu), i.e.
     relu(deconv + residual) — the MultiAggregation redir path.
     post_packed_add: same shape, added AFTER the relu (the model-level
     `cost0 + agg` residual).
@@ -184,7 +285,7 @@ def deconv2x_flat(
     if bias is not None:
         inj = jnp.tile(bias.astype(jnp.float32), 8)  # (8co,) once per cell
     if packed_residual is not None:
-        pr = packed_residual
+        pr = packed_residual.reshape(b, d8, h8 * w8, 8 * co)
         inj = pr if inj is None else pr + inj.astype(pr.dtype)
     if inj is not None:
         if inj.ndim == 1:
@@ -204,8 +305,9 @@ def deconv2x_flat(
     if relu:
         z = jax.nn.relu(z)
     if post_packed_add is not None:
-        z = z + post_packed_add.astype(z.dtype)
-    return interleave2x(z.reshape(b, d8, h8, w8, 8 * co), co)
+        z = z + post_packed_add.reshape(b, d8, h8 * w8, 8 * co).astype(z.dtype)
+    z = z.reshape(b, d8, h8, w8, 8 * co)
+    return interleave2x(z, co) if interleave else z
 
 
 def supports_deconv2x_flat(x_shape) -> bool:

@@ -170,13 +170,44 @@ class DCANet(nn.Module):
         outs = [cost0]
         cva_logits = []
         out = cost0
-        for i in range(1, self.num_cva + 1):
-            logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(
-                out, train, post_residual=cost0 if i == 1 else None
+        from dcanet_tpu.nn.layers import packed_eval_enabled
+
+        use_packed = (
+            not train
+            and self.num_cva > 0
+            and packed_eval_enabled(self.dtype)
+            and self.constrain_volume is None
+            and all(s % 2 == 0 for s in cost0.shape[1:4])
+        )
+        if use_packed:
+            # packed-dialect CVA chain: the 1/4-res volume crosses CVA
+            # boundaries as a (B, D/2, H/2, W/2, 8C) space-to-depth packing
+            # (256 lanes), eliminating the relayout seams XLA inserts around
+            # 32-lane conv/elementwise handoffs. ONE pack at entry, ONE
+            # interleave before the final classifier. kernels/deconv3d.py.
+            from dcanet_tpu.kernels.deconv3d import (
+                interleave2x,
+                pack2x_pointwise,
             )
-            out = self._constrain(agg)
-            cva_logits.append(logits)
-            outs.append(out)
+
+            cost0p = pack2x_pointwise(cost0)
+            outp = cost0p
+            for i in range(1, self.num_cva + 1):
+                logits, outp = CVA(c, dtype=self.dtype, name=f"cva{i}")(
+                    outp, train,
+                    post_residual=cost0p if i == 1 else None,
+                    packed=True,
+                )
+                cva_logits.append(logits)
+            out = interleave2x(outp, c)
+        else:
+            for i in range(1, self.num_cva + 1):
+                logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(
+                    out, train, post_residual=cost0 if i == 1 else None
+                )
+                out = self._constrain(agg)
+                cva_logits.append(logits)
+                outs.append(out)
 
         final_cost = _Classifier(c, dtype=self.dtype, name=f"classif{self.num_cva}")(
             out, train

@@ -44,8 +44,39 @@ class MultiAggregation(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, post_residual=None):
+    def __call__(self, x, train: bool, post_residual=None, packed: bool = False):
         c = self.channels
+        if packed:
+            # x and post_residual are PACKED (B, D8, H8, W8, 8c); returns the
+            # packed aggregate. Eval-fold only (kernels/deconv3d.py).
+            from dcanet_tpu.kernels.deconv3d import (
+                conv3d_s2_from_packed,
+                deconv2x_flat,
+                packed_pointwise,
+            )
+
+            probe = x[..., :c]  # fold_params only reads the channel count
+            w1, s1, b1 = ConvBNAct(
+                c * 2, 3, 2, 1, dims=3, dtype=self.dtype, name="conv1"
+            )(probe, train, fold_params=True)
+            y = conv3d_s2_from_packed(
+                x, (w1 * s1).astype(self.dtype or w1.dtype), bias=b1, relu=True
+            )
+            y = ConvBNAct(c * 2, 3, 1, 1, dims=3, dtype=self.dtype, name="conv2")(y, train)
+            wk = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv3")(
+                y, kernel_only=True
+            )
+            s3, b3 = BatchNorm(dtype=self.dtype, name="conv3_bn")(c, train, fold=True)
+            wr, s2, b2 = ConvBN(c, 1, 1, 0, dims=3, dtype=self.dtype, name="redir")(
+                probe, train, fold_params=True
+            )
+            wr2 = wr.reshape(wr.shape[-2], wr.shape[-1]) * s2.astype(wr.dtype)
+            xp = packed_pointwise(x, wr2.astype(y.dtype), bias=b2)
+            return deconv2x_flat(
+                y, wk, scale=s3, bias=b3, packed_residual=xp,
+                post_packed_add=post_residual, relu=True, interleave=False,
+            )
+
         y = ConvBNAct(c * 2, 3, 2, 1, dims=3, dtype=self.dtype, name="conv1")(x, train)
         y = ConvBNAct(c * 2, 3, 1, 1, dims=3, dtype=self.dtype, name="conv2")(y, train)
         deconv = TorchConvTranspose(c, dims=3, dtype=self.dtype, name="conv3")

@@ -59,6 +59,24 @@ def fold_eval_bn_enabled(dtype) -> bool:
     ) == "1"
 
 
+def packed_eval_enabled(dtype) -> bool:
+    """Gate for the packed-dialect eval CVA chain (kernels/deconv3d.py):
+    requires the folded-eval-BN regime; DCANET_PACKED_EVAL=1 forces on (CPU
+    parity tests), =0 forces off (A/B), unset = auto (TPU only)."""
+    import os
+
+    if not fold_eval_bn_enabled(dtype):
+        return False
+    knob = os.environ.get("DCANET_PACKED_EVAL", "")
+    if knob == "1":
+        return True
+    if knob == "0":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class Conv(nn.Conv):
     """nn.Conv with a TPU fast path for 3x3x3 3D convs.
 
@@ -367,11 +385,13 @@ class ConvBNAct(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, fold_params: bool = False):
         y = ConvBN(
             self.features, self.kernel, self.strides, self.padding,
             self.dilation, self.dims, dtype=self.dtype,
-        )(x, train)
+        )(x, train, fold_params=fold_params)
+        if fold_params:
+            return y  # (kernel, scale, bias) — caller applies act after
         return self.act(y)
 
 
