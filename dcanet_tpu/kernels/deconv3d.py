@@ -275,6 +275,18 @@ def deconv2x_flat(
     """
     b, d8, h8, w8, ci = y.shape
     co = w.shape[4]
+    # shape-check the packed operands BEFORE reshaping: an accidentally
+    # unpacked (B, 2D, 2H, 2W, Co) tensor has the same element count, so the
+    # reshape would succeed and silently corrupt the output.
+    packed_shape = (b, d8, h8, w8, 8 * co)
+    if packed_residual is not None and packed_residual.shape != packed_shape:
+        raise ValueError(
+            f"packed_residual must be packed {packed_shape}, got {packed_residual.shape}"
+        )
+    if post_packed_add is not None and post_packed_add.shape != packed_shape:
+        raise ValueError(
+            f"post_packed_add must be packed {packed_shape}, got {post_packed_add.shape}"
+        )
     if scale is not None:
         w = w * scale.astype(w.dtype)
     wflat = _subpixel_weights(w).astype(y.dtype)  # (2,2,ci,16co)

@@ -172,13 +172,30 @@ class DCANet(nn.Module):
         out = cost0
         from dcanet_tpu.nn.layers import packed_eval_enabled
 
+        packed_capable = (
+            not train and self.num_cva > 0 and packed_eval_enabled(self.dtype)
+        )
         use_packed = (
-            not train
-            and self.num_cva > 0
-            and packed_eval_enabled(self.dtype)
+            packed_capable
             and self.constrain_volume is None
             and all(s % 2 == 0 for s in cost0.shape[1:4])
         )
+        if packed_capable and not use_packed:
+            # visibility for the north-star case: D-sharded eval (or odd
+            # volume extents) silently losing the packed dialect costs
+            # ~3 ms/pair at the 384x1248 bench shape.
+            import warnings
+
+            reason = (
+                "constrain_volume (D-sharding) is set"
+                if self.constrain_volume is not None
+                else f"volume extents {cost0.shape[1:4]} are not all even"
+            )
+            warnings.warn(
+                f"packed eval dialect disabled: {reason}; eval falls back to "
+                "the flat CVA chain (~5% slower at the 384x1248 bench shape)",
+                stacklevel=2,
+            )
         if use_packed:
             # packed-dialect CVA chain: the 1/4-res volume crosses CVA
             # boundaries as a (B, D/2, H/2, W/2, 8C) space-to-depth packing
@@ -190,6 +207,12 @@ class DCANet(nn.Module):
                 pack2x_pointwise,
             )
 
+            # NOTE: this branch never appends to `outs` and skips
+            # `self._constrain` — safe because it is gated on eval
+            # (`not train`, so `outs` is unused: the eval return reads only
+            # `cva_logits`/`out`) and on `constrain_volume is None`. If the
+            # eval path ever grows per-stage diagnostics that read `outs`,
+            # append interleave2x(outp, c) per CVA here.
             cost0p = pack2x_pointwise(cost0)
             outp = cost0p
             for i in range(1, self.num_cva + 1):

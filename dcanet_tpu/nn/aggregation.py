@@ -55,6 +55,11 @@ class MultiAggregation(nn.Module):
                 packed_pointwise,
             )
 
+            if x.shape[-1] != 8 * c:
+                raise ValueError(
+                    f"packed=True expects a (B, D/2, H/2, W/2, {8*c}) "
+                    f"space-to-depth volume, got channels={x.shape[-1]}"
+                )
             probe = x[..., :c]  # fold_params only reads the channel count
             w1, s1, b1 = ConvBNAct(
                 c * 2, 3, 2, 1, dims=3, dtype=self.dtype, name="conv1"

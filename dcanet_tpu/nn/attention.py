@@ -99,12 +99,22 @@ class DisparityAttentionBlock(nn.Module):
         # splits the lane dimension and costs a relayout per tensor — the
         # sliced form measured 0.81 ms vs 1.51 ms at the 1/8 CVA shape
         # (tools/profile_attention.py).
+        # Scale is applied to `query` BEFORE the dot (standard practice in
+        # production attention kernels), NOT as softmax(sim * scale): under
+        # jit, XLA's simplifier sinks the scalar multiply through softmax's
+        # max-subtraction and the fused form produces NaN at the max element
+        # once |sim| ≳ 1e20 — which untrained eval-mode activations (init BN
+        # stats) actually reach. softmax(dot(q*s, k)) is NaN-free at any
+        # finite magnitude; agreement with the post-scale form is ~1e-7 at
+        # sane magnitudes (tests/test_torch_parity.py covers the reference
+        # semantics, SelfAttention_bn.py:88-90).
         scale = hd ** -0.5 if self.matmul_norm else 1.0
+        query = query * jnp.asarray(scale, query.dtype)
         outs = []
         for n in range(heads):
             sl = slice(n * hd, (n + 1) * hd)
             sim = jnp.einsum("bihwe,bjhwe->bhwij", query[..., sl], key[..., sl])
-            attn = nn.softmax(sim * scale, axis=-1)  # over key-disparity j
+            attn = nn.softmax(sim, axis=-1)  # over key-disparity j
             outs.append(jnp.einsum("bhwij,bjhwe->bihwe", attn, value[..., sl]))
         ctx = jnp.concatenate(outs, axis=-1)
 

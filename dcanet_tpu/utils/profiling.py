@@ -38,42 +38,42 @@ def device_time(fn: Callable, *args, iters: int = 10, salt_arg: int = 0):
     is removed by differencing two iteration counts.
     """
 
-    def make(n):
-        @jax.jit
-        def run(*a):
-            def body(salt, _):
-                chained = list(a)
-                chained[salt_arg] = (
-                    chained[salt_arg] + salt.astype(chained[salt_arg].dtype)
-                )
-                out = fn(*chained)
-                first = jax.tree.leaves(out)[0]
-                # full reduction: reading ONE element would let XLA's
-                # slice-narrowing DCE shrink the whole computation to a
-                # receptive-field window (observed: a lone conv3d "ran" in
-                # 0 ms). The sum's bandwidth cost is per-iteration but small
-                # and identical across the two differenced iteration counts.
-                return (jnp.sum(first) * 1e-12).astype(jnp.float32), None
+    # ONE compiled program with a *dynamic* trip count (fori_loop lowers to a
+    # While whose bound is a runtime argument): both iteration counts reuse
+    # the same executable. The previous two-scan form compiled the model
+    # graph twice, which doubled cold-bench time past the driver's budget.
+    @jax.jit
+    def run(n, *a):
+        def body(_, salt):
+            chained = list(a)
+            chained[salt_arg] = (
+                chained[salt_arg] + salt.astype(chained[salt_arg].dtype)
+            )
+            out = fn(*chained)
+            first = jax.tree.leaves(out)[0]
+            # full reduction: reading ONE element would let XLA's
+            # slice-narrowing DCE shrink the whole computation to a
+            # receptive-field window (observed: a lone conv3d "ran" in
+            # 0 ms). The sum's bandwidth cost is per-iteration but small
+            # and identical across the two differenced iteration counts.
+            return (jnp.sum(first) * 1e-12).astype(jnp.float32)
 
-            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return final
-
-        return run
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     lo, hi = max(1, iters // 4), iters
-    run_lo, run_hi = make(lo), make(hi)
-    _ = float(run_lo(*args))  # compile + warm
-    _ = float(run_hi(*args))
+    n_lo, n_hi = jnp.int32(lo), jnp.int32(hi)
+    _ = float(run(n_lo, *args))  # compile + warm
+    _ = float(run(n_hi, *args))
 
-    def timed(run):
+    def timed(n):
         t0 = time.perf_counter()
-        _ = float(run(*args))
+        _ = float(run(n, *args))
         return time.perf_counter() - t0
 
     # tunnel round-trip time is noisy: take the min difference over trials
     # (min-of-diffs of mins is the standard noise-robust estimator here).
-    t_lo = min(timed(run_lo) for _ in range(3))
-    t_hi = min(timed(run_hi) for _ in range(3))
+    t_lo = min(timed(n_lo) for _ in range(3))
+    t_hi = min(timed(n_hi) for _ in range(3))
     return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 

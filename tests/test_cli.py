@@ -150,3 +150,99 @@ def test_cli_train_multichip_matches_single_device(tmp_path, capsys):
     # same global batch, same params: 8-way DP == single device up to
     # all-reduce accumulation order
     np.testing.assert_allclose(loss8, loss1, rtol=2e-3)
+
+
+def _make_sceneflow_tree(root, n=8, h=96, w=160, gt_disp=6.0):
+    """Synthetic SceneFlow-layout tree (monkaa train + flyingthings TEST):
+    real PFM disparities + PNG frames, right = left rolled by gt_disp so the
+    pairs are geometrically consistent (learnable correspondence)."""
+    from PIL import Image
+
+    from dcanet_tpu.data.io import write_pfm
+
+    rng = np.random.default_rng(7)
+
+    def write_pair(img_dir, disp_dir, name_stem):
+        os.makedirs(img_dir / "left", exist_ok=True)
+        os.makedirs(img_dir / "right", exist_ok=True)
+        os.makedirs(disp_dir / "left", exist_ok=True)
+        # smooth image so the shifted right is well-correlated at 1/4 res
+        small = rng.random((h // 8, w // 8, 3))
+        big = np.kron(small, np.ones((8, 8, 1)))[:h, :w]
+        left = (big * 255).astype(np.uint8)
+        right = np.roll(left, -int(gt_disp), axis=1)
+        Image.fromarray(left).save(img_dir / "left" / f"{name_stem}.png")
+        Image.fromarray(right).save(img_dir / "right" / f"{name_stem}.png")
+        write_pfm(
+            disp_dir / "left" / f"{name_stem}.pfm",
+            np.full((h, w), gt_disp, np.float32),
+        )
+
+    for i in range(n):  # train: monkaa layout
+        write_pair(
+            root / "monkaa_frames_finalpass" / "sceneA",
+            root / "monkaa_disparity" / "sceneA",
+            f"{i:04d}",
+        )
+    for i in range(2):  # eval: flyingthings TEST layout
+        write_pair(
+            root / "frames_finalpass" / "TEST" / "A" / "0000",
+            root / "frames_disparity" / "TEST" / "A" / "0000",
+            f"{i:04d}",
+        )
+
+
+@pytest.mark.slow
+def test_cli_sceneflow_convergence_and_resume(tmp_path, capsys):
+    """CLI-level convergence proof on real-format data (VERDICT r3 next #7):
+    train on a tiny on-disk SceneFlow-layout dataset (PFM + PNG), stop at an
+    epoch boundary (simulating a mid-run kill after a checkpoint landed),
+    `--resume` in a fresh state, then cmd_eval — asserting the step counter
+    continues and eval EPE improves over the untrained init. This covers the
+    last seam between the unit level and the reference's end-to-end workflow
+    (main_dca.py:248-335)."""
+    from dcanet_tpu import cli
+    from dcanet_tpu.config import preset
+    from dcanet_tpu.data import datasets as D
+
+    root = tmp_path / "sceneflow"
+    root.mkdir()
+    _make_sceneflow_tree(root)
+
+    common = dict(
+        data_root=str(root),
+        maxdisp=32,
+        batch_size=1,
+        logdir=str(tmp_path / "run"),
+        model="dcanet-cva1",
+        num_workers=2,
+    )
+    old_crop = D.PRESETS["sceneflow"]["crop"]
+    D.PRESETS["sceneflow"]["crop"] = (64, 128)
+    try:
+        # eval the untrained init (no checkpoint exists yet)
+        cfg = preset("sceneflow", epochs=6, **common)
+        cfg.print_freq = 4
+        init_results = cli.cmd_eval(cfg)
+        epe_init = init_results["epe"]
+        assert np.isfinite(epe_init)
+
+        cli.cmd_train(cfg)  # epochs 0-5, checkpoint each epoch
+
+        # "killed" here; fresh invocation resumes from the last checkpoint
+        cfg2 = preset("sceneflow", epochs=12, **common)
+        cfg2.print_freq = 4
+        cfg2.resume = True
+        capsys.readouterr()
+        cli.cmd_train(cfg2)
+        out = capsys.readouterr().out
+        assert "resumed from step 48" in out, out[:2000]
+
+        results = cli.cmd_eval(cfg2)
+        out = capsys.readouterr().out
+        assert "evaluating step 96" in out, out[:2000]
+        assert results["epe"] < 0.7 * epe_init, (
+            f"EPE did not improve: init {epe_init:.3f} -> {results['epe']:.3f}"
+        )
+    finally:
+        D.PRESETS["sceneflow"]["crop"] = old_crop

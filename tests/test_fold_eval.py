@@ -305,3 +305,106 @@ def test_dcanet_packed_eval_matches(rng, monkeypatch):
     for a, b in zip(want.class_logits, got.class_logits):
         aa, bb = np.asarray(a, np.float32), np.asarray(b, np.float32)
         assert np.abs(aa - bb).max() / max(np.abs(aa).max(), 1e-3) < 0.06
+
+
+def test_khfold_residual_matches_xla(rng):
+    """conv2d_khfold(x, w, bias=b, residual=r) == native 3x3 conv + b + r in
+    f32, including odd H (ADVICE r3: the kd-fold analogue had this test, the
+    2D one was only covered indirectly at 5% bf16 tolerance)."""
+    from dcanet_tpu.kernels.conv2d import conv2d_khfold
+
+    def native(x, wt):
+        return jax.lax.conv_general_dilated(
+            x, wt, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    for h in (8, 9):  # even and odd H (boundary-row off-by-ones)
+        b, w, c, co = 1, 11, 8, 16
+        x = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+        wt = jnp.asarray(rng.standard_normal((3, 3, c, co), dtype=np.float32)) * 0.2
+        r = jnp.asarray(rng.standard_normal((b, h, w, co), dtype=np.float32))
+        bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+
+        want = native(x, wt) + bias + r
+        got = conv2d_khfold(x, wt, bias=bias, residual=r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # stride-2 with bias only (residual requires stride 1)
+    x = jnp.asarray(rng.standard_normal((1, 9, 11, 8), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 8, 16), dtype=np.float32)) * 0.2
+    bias = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+    want = jax.lax.conv_general_dilated(
+        x, wt, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    got = conv2d_khfold(x, wt, strides=(2, 2), bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_eval_dialect_accuracy_on_trained_weights(monkeypatch):
+    """bf16-folded and bf16-packed eval vs f32-unfolded eval on TRAINED
+    weights (VERDICT r3 next #3): random weights give a near-uniform softmax
+    whose soft-argmin is chaotic, so the drift of the eval fast paths is only
+    meaningful after training. Overfits one synthetic pair to sub-pixel EPE
+    (the r2 trainability fixture), then pins EPE drift of each eval dialect
+    below the BASELINE.md golden-parity tolerance (0.05 px)."""
+    import optax
+
+    from dcanet_tpu.models import DCANet
+    from dcanet_tpu.train.loop import LossConfig, eval_step, train_step
+    from dcanet_tpu.train.state import create_train_state
+
+    H, W, MAXDISP = 32, 64, 32
+    gt_disp = 6.0
+    key = jax.random.PRNGKey(42)
+    base = jax.random.normal(key, (1, H, W // 8, 3), jnp.float32)
+    left = jax.image.resize(base, (1, H, W, 3), "linear")
+    right = jnp.roll(left, -int(gt_disp), axis=2)
+    batch = {
+        "left": left,
+        "right": right,
+        "disparity": jnp.full((1, H, W), gt_disp, jnp.float32),
+    }
+
+    # full 3-CVA chain so the packed dialect crosses every CVA boundary
+    model = DCANet(maxdisp=MAXDISP, num_cva=3)
+    state = create_train_state(model, key, left, right, optax.adam(1e-3))
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+    epe = None
+    for step in range(300):
+        state, _ = train_step(state, batch, cfg)
+        if step % 50 == 49:
+            epe = float(eval_step(state, batch, cfg)["epe"])
+            if epe < 0.5:
+                break
+    assert epe is not None and epe < 1.0, f"failed to overfit: EPE={epe}"
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def run(dtype, fold, packed):
+        monkeypatch.setenv("DCANET_FOLD_EVAL_BN", "1" if fold else "0")
+        monkeypatch.setenv("DCANET_PACKED_EVAL", "1" if packed else "0")
+        m = DCANet(maxdisp=MAXDISP, num_cva=3, dtype=dtype)
+        return np.asarray(
+            m.apply(variables, left, right, train=False).disparity, np.float32
+        )
+
+    ref = run(None, fold=False, packed=False)  # f32 literal conv->BN path
+    folded = run(jnp.bfloat16, fold=True, packed=False)
+    packed = run(jnp.bfloat16, fold=True, packed=True)
+
+    gt = np.asarray(batch["disparity"])
+    epe_ref = np.abs(ref - gt).mean()
+    for name, pred in (("bf16-folded", folded), ("bf16-packed", packed)):
+        epe_v = np.abs(pred - gt).mean()
+        drift_epe = abs(epe_v - epe_ref)
+        drift_mean = np.abs(pred - ref).mean()
+        assert drift_epe < 0.05, (
+            f"{name}: EPE drift {drift_epe:.4f} px vs f32 (EPE {epe_ref:.4f} "
+            f"-> {epe_v:.4f}) exceeds the 0.05 px golden tolerance"
+        )
+        assert drift_mean < 0.1, (
+            f"{name}: mean |disp - disp_f32| = {drift_mean:.4f} px"
+        )

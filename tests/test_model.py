@@ -98,3 +98,26 @@ def test_registry():
     for name in ["dcanet", "dcanet-cva0", "gwcnet-g"]:
         m = make_model(name, maxdisp=64)
         assert m.maxdisp == 64
+
+
+def test_packed_dialect_fallback_warns(monkeypatch):
+    """When the packed eval dialect WOULD run (bf16 + fold regime) but is
+    disabled by D-sharding (constrain_volume) the model emits one warning
+    naming the fallback (VERDICT r3 weak #5)."""
+    import warnings
+
+    monkeypatch.setenv("DCANET_PACKED_EVAL", "1")
+    left, right = _inputs()
+    model = DCANet(
+        maxdisp=MAXDISP, num_cva=1, dtype=jnp.bfloat16,
+        constrain_volume=lambda x: x,
+    )
+    variables = model.init(jax.random.PRNGKey(0), left, right, train=True)
+    with pytest.warns(UserWarning, match="packed eval dialect disabled.*D-sharding"):
+        model.apply(variables, left, right, train=False)
+
+    # no constraint, even extents: packed path runs, no warning
+    model2 = DCANet(maxdisp=MAXDISP, num_cva=1, dtype=jnp.bfloat16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        model2.apply(variables, left, right, train=False)
