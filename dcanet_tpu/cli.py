@@ -290,6 +290,25 @@ def _eval_one(cfg, i, out, gt, left, pads, meters, logger, state):
             [raw, rgb(disp), rgb(gt), disp_error_image(disp, gt)], axis=0
         )
         logger.log_image(int(state.step), f"eval/sample{i}", panel)
+        # disparity-band probability-mass heatmaps, one per DCA volume: the
+        # generalized counterpart of the reference's vis_weight rebuttal hook
+        # (gwcnet_dca_g.py:189-207 — fixed band 39:50, hard-coded image
+        # crops). --vis-band lo:hi selects a full-res disparity band; default
+        # is +-1 class around the per-pixel argmax (prob-mass sharpness).
+        for vi, lg in enumerate(getattr(out, "class_logits", ()) or ()):
+            prob = np.asarray(jax.nn.softmax(lg[0], axis=0), np.float32)
+            dcls = np.arange(prob.shape[0])[:, None, None]
+            if cfg.vis_band:
+                lo, hi_d = (float(x) for x in cfg.vis_band.split(":"))
+                band = (dcls >= lo / 8.0) & (dcls < hi_d / 8.0)
+            else:
+                band = np.abs(dcls - np.argmax(prob, axis=0)[None]) <= 1
+            mass = (prob * band).sum(0)
+            mass = mass / max(mass.max(), 1e-6)
+            logger.log_image(
+                int(state.step), f"eval/sample{i}_probmass_vol{vi + 1}",
+                np.repeat(mass[..., None], 3, -1),
+            )
     mask = (gt > 0) & (gt < cfg.maxdisp)
     # reference eval protocol: per-image metrics with the <10%-valid skip
     # (utils/metrics.py:22-41); skipped images contribute n=0.
@@ -426,6 +445,14 @@ def main(argv=None):
         sp.add_argument("--logdir", default=None)
         sp.add_argument("--dtype", default=None)
         sp.add_argument("--resume", action="store_true", default=None)
+        sp.add_argument("--n-disp-shards", type=int, default=None)
+        sp.add_argument("--n-data-shards", type=int, default=None)
+        sp.add_argument("--log-images", type=int, default=None)
+        sp.add_argument(
+            "--vis-band", default=None,
+            help="full-res disparity band 'lo:hi' for the per-volume "
+            "probability-mass eval panels (vis_weight counterpart)",
+        )
 
     sp_train = sub.add_parser("train")
     add_common(sp_train)

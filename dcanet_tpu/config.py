@@ -47,6 +47,9 @@ class RunConfig:
     # qualitative eval dumps: save input/est/gt/error panels for the first N
     # eval samples (0 = off); reference analog: utils/experiment.py save_images
     log_images: int = 0
+    # full-res disparity band "lo:hi" for the per-volume probability-mass
+    # eval panels (vis_weight counterpart); "" = +-1 class around the argmax
+    vis_band: str = ""
     use_tensorboard: bool = False
     # debug: enable jax_debug_nans (trap the first NaN-producing op)
     debug_nans: bool = False

@@ -61,6 +61,9 @@ def test_cli_train_eval_infer(tmp_path):
         assert glob.glob(str(tmp_path / "run" / "images" / "*.png")), (
             "eval image panels should be written when log_images > 0"
         )
+        assert glob.glob(
+            str(tmp_path / "run" / "images" / "*probmass_vol1*.png")
+        ), "per-volume probability-mass panels (vis_weight counterpart)"
         out_png = tmp_path / "disp.png"
         cli.cmd_infer(
             cfg,
