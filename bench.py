@@ -149,13 +149,17 @@ def bench_train_step(dtype):
     )
     cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
 
-    # time the full step (fwd+bwd+adam) WITHOUT donation (device_time reuses
-    # the same args across iterations; salt chains through `left`)
+    # time the full step WITHOUT donation (device_time reuses the same args
+    # across iterations; salt chains through `left`). Returning ONLY the loss
+    # let XLA DCE the whole backward — the r2/r3 pins (71.75 ms, 27.9
+    # pairs/sec) were forward-only measurements. grad_norm keeps the
+    # backward live (the Adam update itself is still DCE'd: +~0.1 ms on 5M
+    # params, same protocol as tools/profile_train_stages.py).
     def step(left, right, disparity):
         _, metrics = train_step.__wrapped__(
             state, {"left": left, "right": right, "disparity": disparity}, cfg
         )
-        return metrics["total"]
+        return metrics["total"] + metrics["grad_norm"]
 
     t0 = time.perf_counter()
     dt = device_time(
@@ -175,6 +179,10 @@ def bench_train_step(dtype):
                 "value": round(pairs, 4),
                 "unit": "pairs/sec/chip",
                 "step_ms": round(dt * 1e3, 2),
+                "note": "fwd+bwd (grad_norm keeps backward live; Adam "
+                "update DCE'd, +~0.1 ms). Pins before 2026-08-21 (71.75 ms "
+                "/ 27.9 p/s) were forward-only: the step returned just the "
+                "loss and XLA eliminated the backward.",
             },
             f,
             indent=2,

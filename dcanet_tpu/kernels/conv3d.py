@@ -256,9 +256,34 @@ def _kd_select_kernel(co: int, dtype):
     return jnp.asarray(_kd_select_np(co), dtype)
 
 
+def _kd_select_shift(y, co: int, d_stride: int = 1):
+    """Step 2 as three lane-sliced D-shifted ADDS instead of the 0/1
+    selection conv: out[d] = y[d·s-1, kd0] + y[d·s, kd1] + y[d·s+1, kd2].
+
+    The selection conv is algebraically a dense (3·co x co) matmul of 0/1
+    weights — XLA runs it at matmul rates on FLOPs that are 100% waste
+    (measured 2.2-3.7 ms at the dres shapes, 15 TFLOPS effective / ~95 GB/s);
+    the shift-add form is pure bandwidth (0.46 ms train / 0.16-1.6 ms eval
+    shapes, up to the roofline). y: rank-4 (B, D, HW, 3co) or rank-5
+    (B, D, H, W, 3co); returns the same rank with D' = out planes."""
+    d = y.shape[1]
+    pad = [(0, 0), (1, 1)] + [(0, 0)] * (y.ndim - 2)
+    z = jnp.pad(y, pad)
+    y0 = z[:, 0 : d + 0 : d_stride, ..., :co]
+    y1 = z[:, 1 : d + 1 : d_stride, ..., co : 2 * co]
+    y2 = z[:, 2 : d + 2 : d_stride, ..., 2 * co :]
+    return y0 + y1 + y2
+
+
 def _kd_select(y, co: int, d_stride: int = 1):
     """Step 2: out[b,d,h,w,o] = sum_kd y[b, d*stride + kd - 1, h, w, kd*co+o]
-    (zero-padded at the D edges) as a (3,1)-kernel conv over (D, H*W)."""
+    (zero-padded at the D edges). Default: shifted lane-slice adds
+    (_kd_select_shift); DCANET_KD_SELECT=conv restores the (3,1)-kernel
+    selection conv over (D, H*W) for A/Bs."""
+    import os
+
+    if os.environ.get("DCANET_KD_SELECT", "shift") == "shift":
+        return _kd_select_shift(y, co, d_stride)
     b, d, h, wd, c3 = y.shape
     sel = _kd_select_kernel(co, y.dtype)
     out = jax.lax.conv_general_dilated(
@@ -335,11 +360,18 @@ def conv3d_kdfold(x, w, strides=(1, 1, 1), bias=None, residual=None):
         rflat = residual.reshape(rb * rd, rh, rw, rc).astype(y.dtype)
         y = y + jnp.pad(rflat, ((0, 0), (0, 0), (0, 0), (co, co)))
     _, hp, wp, _ = y.shape
-    sel = _kd_select_kernel(co, y.dtype)
-    out = jax.lax.conv_general_dilated(
-        y.reshape(b, d, hp * wp, 3 * co), sel, (strides[0], 1),
-        [(1, 1), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    import os
+
+    if os.environ.get("DCANET_KD_SELECT", "shift") == "shift":
+        out = _kd_select_shift(
+            y.reshape(b, d, hp * wp, 3 * co), co, d_stride=strides[0]
+        )
+    else:
+        sel = _kd_select_kernel(co, y.dtype)
+        out = jax.lax.conv_general_dilated(
+            y.reshape(b, d, hp * wp, 3 * co), sel, (strides[0], 1),
+            [(1, 1), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     return out.reshape(b, out.shape[1], hp, wp, co)
 
 

@@ -33,30 +33,47 @@ import jax
 import jax.numpy as jnp
 
 
-def _sga_scan(cost: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Recurrence along axis 0.
+def _sga_step(prev, c, wt):
+    """One recurrence update. prev/c: (..., D, X); wt: (..., 5, 1, 1)
+    broadcast over (D, X). D rides the SUBLANE axis and the wide spatial
+    axis X rides the LANES (X is W or H >= 96 at production shapes, vs
+    D = 48 — lane-major D wasted 2/3 of each vector register)."""
+    w0, w1, w2, w3, w4 = [wt[..., i, :, :] for i in range(5)]
+    prev_dm1 = jnp.pad(prev[..., :-1, :], [(0, 0)] * (prev.ndim - 2) + [(1, 0), (0, 0)])
+    prev_dp1 = jnp.pad(prev[..., 1:, :], [(0, 0)] * (prev.ndim - 2) + [(0, 1), (0, 0)])
+    prev_max = jnp.max(prev, axis=-2, keepdims=True)
+    return w0 * c + w1 * prev + w2 * prev_dm1 + w3 * prev_dp1 + w4 * prev_max
 
-    cost: (L, B, X, D) — L is the scan axis (rows or cols), X the other
-    spatial axis. w: (L, B, X, 5) weights.
-    Returns aggregated (L, B, X, D).
+
+def _sga_scan_bidir(cost: jnp.ndarray, w_fwd: jnp.ndarray, w_bwd: jnp.ndarray):
+    """Forward AND backward recurrences along axis 0 in ONE lax.scan.
+
+    cost: (L, B, D, X) — L is the scan axis (rows or cols), X the other
+    spatial axis (lane-major). w_fwd/w_bwd: (L, B, 5, 1, X) weights for the
+    forward (0->L) and backward (L->0) directions.
+
+    Fusing the two directions halves the serial step count vs two scans
+    (each step's slab is tiny — (B, D, X) elementwise taps — so on TPU the
+    scan is overhead-bound, not FLOP-bound; measured in
+    tools/profile_ganet.py). unroll=8 further amortizes the per-step loop
+    overhead. Returns (fwd_out, bwd_out), both (L, B, D, X) in the original
+    line order.
     """
 
-    def step(prev, inputs):
-        c, wt = inputs  # (B, X, D), (B, X, 5)
-        w0, w1, w2, w3, w4 = [wt[..., i : i + 1] for i in range(5)]
-        prev_dm1 = jnp.pad(prev[..., :-1], ((0, 0), (0, 0), (1, 0)))
-        prev_dp1 = jnp.pad(prev[..., 1:], ((0, 0), (0, 0), (0, 1)))
-        prev_max = jnp.max(prev, axis=-1, keepdims=True)
-        out = (
-            w0 * c + w1 * prev + w2 * prev_dm1 + w3 * prev_dp1 + w4 * prev_max
-        )
-        return out, out
+    def step(carry, inputs):
+        pf, pb = carry
+        cf, cb, wf, wb = inputs
+        outf = _sga_step(pf, cf, wf)
+        outb = _sga_step(pb, cb, wb)
+        return (outf, outb), (outf, outb)
 
     # First step sees a zero "previous" line, matching the CUDA kernel's
     # boundary handling (out[0] = w0 * cost[0]).
-    init = jnp.zeros_like(cost[0])
-    _, outs = jax.lax.scan(step, init, (cost, w))
-    return outs
+    init = (jnp.zeros_like(cost[0]), jnp.zeros_like(cost[0]))
+    _, (fwd, bwd_rev) = jax.lax.scan(
+        step, init, (cost, cost[::-1], w_fwd, w_bwd[::-1]), unroll=8
+    )
+    return fwd, bwd_rev[::-1]
 
 
 def sga_aggregate(cost: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
@@ -69,21 +86,20 @@ def sga_aggregate(cost: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """
     b, d, h, w_ = cost.shape
     assert weights.shape == (b, h, w_, 4, 5), weights.shape
-    # (B, D, H, W) -> (H, B, W, D) for row scans
-    rows = cost.transpose(2, 0, 3, 1)
-    w_rows = weights.transpose(1, 0, 2, 3, 4)  # (H, B, W, 4, 5)
-    down = _sga_scan(rows, w_rows[..., 0, :])
-    up = _sga_scan(rows[::-1], w_rows[::-1][..., 1, :])[::-1]
-    # (B, D, H, W) -> (W, B, H, D) for column scans
-    cols = cost.transpose(3, 0, 2, 1)
-    w_cols = weights.transpose(2, 0, 1, 3, 4)  # (W, B, H, 4, 5)
-    right = _sga_scan(cols, w_cols[..., 2, :])
-    left = _sga_scan(cols[::-1], w_cols[::-1][..., 3, :])[::-1]
+    # (B, D, H, W) -> (H, B, D, W) for row scans: W stays lane-major
+    rows = cost.transpose(2, 0, 1, 3)
+    # (B, H, W, 4, 5) -> (H, B, 4, 5, W), then (H, B, 5, 1, W) per direction
+    w_rows = weights.transpose(1, 0, 3, 4, 2)[..., None, :]
+    down, up = _sga_scan_bidir(rows, w_rows[:, :, 0], w_rows[:, :, 1])
+    # (B, D, H, W) -> (W, B, D, H) for column scans: H lane-major
+    cols = cost.transpose(3, 0, 1, 2)
+    w_cols = weights.transpose(2, 0, 3, 4, 1)[..., None, :]
+    right, left = _sga_scan_bidir(cols, w_cols[:, :, 2], w_cols[:, :, 3])
 
-    down = down.transpose(1, 3, 0, 2)  # (B, D, H, W)
-    up = up.transpose(1, 3, 0, 2)
-    right = right.transpose(1, 3, 2, 0)
-    left = left.transpose(1, 3, 2, 0)
+    down = down.transpose(1, 2, 0, 3)  # (B, D, H, W)
+    up = up.transpose(1, 2, 0, 3)
+    right = right.transpose(1, 2, 3, 0)
+    left = left.transpose(1, 2, 3, 0)
     return jnp.maximum(jnp.maximum(down, up), jnp.maximum(right, left))
 
 

@@ -29,17 +29,25 @@ def naive_sga_down(cost, w):
 
 
 def test_sga_down_scan_matches_naive(rng):
-    from dcanet_tpu.ops.sga import _sga_scan
+    from dcanet_tpu.ops.sga import _sga_scan_bidir
 
     b, d, h, w = 2, 5, 4, 3
     cost = rng.standard_normal((b, d, h, w), dtype=np.float32)
-    raw = rng.random((b, h, w, 5)).astype(np.float32)
+    raw = rng.random((b, h, w, 2, 5)).astype(np.float32)
     wts = raw / raw.sum(-1, keepdims=True)
-    rows = jnp.asarray(cost).transpose(2, 0, 3, 1)  # (H, B, W, D)
-    w_rows = jnp.asarray(wts).transpose(1, 0, 2, 3)  # (H, B, W, 5)
-    got = np.asarray(_sga_scan(rows, w_rows)).transpose(1, 3, 0, 2)
-    want = naive_sga_down(cost, wts)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    rows = jnp.asarray(cost).transpose(2, 0, 1, 3)  # (H, B, D, W)
+    # (B, H, W, 2, 5) -> (H, B, 2, 5, W) -> per-direction (H, B, 5, 1, W)
+    w_rows = jnp.asarray(wts).transpose(1, 0, 3, 4, 2)[..., None, :]
+    down, up = _sga_scan_bidir(rows, w_rows[:, :, 0], w_rows[:, :, 1])
+    want_down = naive_sga_down(cost, wts[..., 0, :])
+    np.testing.assert_allclose(
+        np.asarray(down).transpose(1, 2, 0, 3), want_down, rtol=1e-4, atol=1e-5
+    )
+    # backward direction == naive down on the row-reversed volume, reversed
+    want_up = naive_sga_down(cost[:, :, ::-1], wts[:, ::-1][..., 1, :])[:, :, ::-1]
+    np.testing.assert_allclose(
+        np.asarray(up).transpose(1, 2, 0, 3), want_up, rtol=1e-4, atol=1e-5
+    )
 
 
 def test_sga_passthrough():
