@@ -120,6 +120,40 @@ def _conv2d(x, w, strides, padding):
     )
 
 
+def _sd_shift_enabled(site: str) -> bool:
+    """Per-site A/B knob for the packed-dialect step-2 selects.
+
+    DCANET_SD_SELECT = "conv" (default) | "shift" | comma list of sites
+    ("s2", "avgpool", "deconv", "pack"). Unlike the 3D kd-select (where the
+    shifted-add form wins 2.2x — kernels/conv3d.py), the packed selects sit
+    between convs in conv-friendly layouts and the conv form FUSES: full
+    eval model measured 62.06 ms (conv) vs 64.50 ms (all-shift), so conv
+    stays the default. The knob records the measurement and keeps the A/B
+    reproducible."""
+    import os
+
+    v = os.environ.get("DCANET_SD_SELECT", "conv")
+    if v in ("conv", ""):
+        return False
+    if v == "shift":
+        return True
+    return site in v.split(",")
+
+
+def _sd_select(y1, co: int, site: str = "s2"):
+    """out[d] = y1[d-1, :co] + y1[d, co:] (zero pad at d=0) — the step-2
+    sd-tap resolution. y1: (B, D, X, 2co) -> (B, D, X, co)."""
+    if not _sd_shift_enabled(site):
+        sel = jnp.asarray(_sd_select_np(co), y1.dtype)
+        return jax.lax.conv_general_dilated(
+            y1, sel, (1, 1), ((1, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    d = y1.shape[1]
+    y0 = jnp.pad(y1[..., :co], ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :d]
+    return y0 + y1[..., co:]
+
+
 def interleave2x(z, co: int):
     """(B, D8, H8, W8, 8*co) packed (pd,ph,pw,co) -> (B, 2D8, 2H8, 2W8, co)."""
     b, d8, h8, w8, _ = z.shape
@@ -142,11 +176,16 @@ def pack2x_pointwise(x, w=None, bias=None):
     wp = wp.reshape(2, 2, ci, 4 * co)
     z = _conv2d(x.reshape(b * d, h, wd, ci), wp, (2, 2), ((0, 0), (0, 0)))
     z = z.reshape(b, d, (h // 2) * (wd // 2), 4 * co)
-    s2 = jnp.asarray(_d_parity_np(4 * co), x.dtype)  # (2,1,4co,8co)
-    z = jax.lax.conv_general_dilated(
-        z, s2, (2, 1), ((0, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, D/2, H8*W8, 8co)
+    if _sd_shift_enabled("pack"):
+        # D-parity into the pd channel block == lane concat of the even and
+        # odd D planes (the 0/1 selection conv burns 23 GF of dense matmul)
+        z = jnp.concatenate([z[:, 0::2], z[:, 1::2]], axis=-1)
+    else:
+        s2 = jnp.asarray(_d_parity_np(4 * co), x.dtype)  # (2,1,4co,8co)
+        z = jax.lax.conv_general_dilated(
+            z, s2, (2, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, D/2, H8*W8, 8co)
     if bias is not None:
         z = z + jnp.tile(bias.astype(jnp.float32), 8).astype(z.dtype)
     return z.reshape(b, d // 2, h // 2, wd // 2, 8 * co)
@@ -215,12 +254,7 @@ def conv3d_s2_from_packed(z, w, bias=None, relu: bool = False):
             [jnp.zeros((co,), jnp.float32), bias.astype(jnp.float32)]
         )
         y1 = y1 + bvec.astype(y1.dtype)
-    sel = jnp.asarray(_sd_select_np(co), y1.dtype)  # (2,1,2co,co)
-    out = jax.lax.conv_general_dilated(
-        y1, sel, (1, 1), ((1, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    out = out.reshape(b, d8, h8, w8, co)
+    out = _sd_select(y1, co, site="s2").reshape(b, d8, h8, w8, co)
     return jax.nn.relu(out) if relu else out
 
 
@@ -242,12 +276,7 @@ def avgpool2x_from_packed(z):
         (1, 1), ((1, 0), (1, 0)),
     )
     y1 = y1.reshape(b, d8, h8 * w8, 2 * c)
-    sel = jnp.asarray(_sd_select_np(c), y1.dtype)
-    out = jax.lax.conv_general_dilated(
-        y1, sel, (1, 1), ((1, 0), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out.reshape(b, d8, h8, w8, c)
+    return _sd_select(y1, c, site="avgpool").reshape(b, d8, h8, w8, c)
 
 
 def deconv2x_flat(
@@ -309,11 +338,19 @@ def deconv2x_flat(
                 ((0, 0), (0, 0), (0, 0), (0, 8 * co)),
             )
 
-    sel = jnp.asarray(_sd_select_np(8 * co), y1.dtype)
-    z = jax.lax.conv_general_dilated(
-        y1, sel, (1, 1), ((0, 1), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, D8, H8*W8, 8co)
+    # out[d] = y1[d, :8co] + y1[d+1, 8co:] (bottom zero pad): the widest
+    # select in the repo (16co=512 -> 8co=256 lanes, 94 GF as a dense-matmul
+    # selection conv) — shifted lane-slice add unless DCANET_SD_SELECT=conv.
+    if _sd_shift_enabled("deconv"):
+        co8 = 8 * co
+        znext = jnp.pad(y1[..., co8:], ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+        z = y1[..., :co8] + znext  # (B, D8, H8*W8, 8co)
+    else:
+        sel = jnp.asarray(_sd_select_np(8 * co), y1.dtype)
+        z = jax.lax.conv_general_dilated(
+            y1, sel, (1, 1), ((0, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, D8, H8*W8, 8co)
     if relu:
         z = jax.nn.relu(z)
     if post_packed_add is not None:
