@@ -71,6 +71,8 @@ def _make_state(cfg, steps_per_epoch: int, mesh=None):
         from dcanet_tpu.parallel import make_disp_constraint
 
         kw["constrain_volume"] = make_disp_constraint(mesh)
+    if cfg.remat:
+        kw["remat"] = True  # DCANet-family only (others reject it loudly)
     model = make_model(cfg.model, maxdisp=cfg.maxdisp, dtype=dtype, **kw)
     if cfg.lr_spec:
         sched = epoch_decay_schedule(cfg.base_lr, cfg.lr_spec, steps_per_epoch)
@@ -445,6 +447,7 @@ def main(argv=None):
         sp.add_argument("--logdir", default=None)
         sp.add_argument("--dtype", default=None)
         sp.add_argument("--resume", action="store_true", default=None)
+        sp.add_argument("--remat", action="store_true", default=None)
         sp.add_argument("--n-disp-shards", type=int, default=None)
         sp.add_argument("--n-data-shards", type=int, default=None)
         sp.add_argument("--log-images", type=int, default=None)

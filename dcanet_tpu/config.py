@@ -53,6 +53,9 @@ class RunConfig:
     use_tensorboard: bool = False
     # debug: enable jax_debug_nans (trap the first NaN-producing op)
     debug_nans: bool = False
+    # rematerialize CVA blocks in the train backward (jax.checkpoint):
+    # trades recompute for HBM — enables batch 8 at 256x512 on one v5e chip
+    remat: bool = False
 
     # parallel
     n_disp_shards: int = 1

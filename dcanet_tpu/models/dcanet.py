@@ -119,6 +119,12 @@ class DCANet(nn.Module):
     # per-image; needed for bit-parity with torch in train mode (eval mode is
     # identical either way since BN uses running stats).
     stacked_features: bool = True
+    # Rematerialize each CVA block in the backward pass (jax.checkpoint via
+    # nn.remat): trades recompute FLOPs for HBM. b8 256x512 train OOMs by
+    # 20 MB without it (the deep-supervision ladder holds three 1/4-res
+    # volumes per CVA); with remat the activations inside each CVA are
+    # recomputed instead of stored. CLI: --remat.
+    remat: bool = False
 
     def _constrain(self, x):
         return self.constrain_volume(x) if self.constrain_volume is not None else x
@@ -224,8 +230,15 @@ class DCANet(nn.Module):
                 cva_logits.append(logits)
             out = interleave2x(outp, c)
         else:
+            # remat only matters in train (eval has no stored activations);
+            # static_argnums pins the `train` flag out of the residual pass.
+            # static_argnums counts `self` (flax nn.remat convention):
+            # index 2 is the `train` flag.
+            cva_cls = (
+                nn.remat(CVA, static_argnums=(2,)) if (self.remat and train) else CVA
+            )
             for i in range(1, self.num_cva + 1):
-                logits, agg = CVA(c, dtype=self.dtype, name=f"cva{i}")(
+                logits, agg = cva_cls(c, dtype=self.dtype, name=f"cva{i}")(
                     out, train, post_residual=cost0 if i == 1 else None
                 )
                 out = self._constrain(agg)

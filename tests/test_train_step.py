@@ -161,3 +161,24 @@ def test_overfit_synthetic_pair_to_subpixel_epe():
                 break
     assert epe is not None and np.isfinite(epe)
     assert epe < 1.0, f"failed to overfit: EPE={epe}"
+
+
+def test_remat_matches_plain():
+    """DCANet(remat=True) computes the same loss/grads as remat=False
+    (jax.checkpoint changes memory, not math)."""
+    model = DCANet(maxdisp=MAXDISP, num_cva=1)
+    model_r = DCANet(maxdisp=MAXDISP, num_cva=1, remat=True)
+    key = jax.random.PRNGKey(3)
+    batch = _batch(key)
+    cfg = LossConfig(max_disp=MAXDISP, preset="sceneflow")
+    # train_step donates the state: build one per call
+    state = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    _, m0 = train_step(state, batch, cfg)
+    state2 = create_train_state(
+        model, key, batch["left"][:1], batch["right"][:1], optax.adam(1e-3)
+    )
+    _, m1 = train_step(state2.replace(apply_fn=model_r.apply), batch, cfg)
+    assert abs(float(m0["total"]) - float(m1["total"])) < 1e-4
+    assert abs(float(m0["grad_norm"]) - float(m1["grad_norm"])) < 1e-3
