@@ -31,6 +31,19 @@ import sys
 import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", _HERE, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+
 H, W = 384, 1248
 MAXDISP = 192
 BASELINE_FILE = os.path.join(_HERE, "BENCH_BASELINE.json")
@@ -109,8 +122,12 @@ def _measure():
         "unit": "pairs/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
     }
+    # stamp provenance into the pin so a cached-fallback consumer can tell a
+    # stale measurement from a current one (ADVICE r4)
+    stamped = dict(record, commit=_git_sha(), measured_at=time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
     with open(LAST_FILE, "w") as f:
-        json.dump(record, f, indent=2)
+        json.dump(stamped, f, indent=2)
     print(json.dumps(record), flush=True)
 
     # Train-step throughput is measured separately (BENCH_TRAIN=1 python
@@ -179,6 +196,8 @@ def bench_train_step(dtype):
                 "value": round(pairs, 4),
                 "unit": "pairs/sec/chip",
                 "step_ms": round(dt * 1e3, 2),
+                "commit": _git_sha(),
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "note": "fwd+bwd (grad_norm keeps backward live; Adam "
                 "update DCE'd, +~0.1 ms). Pins before 2026-08-21 (71.75 ms "
                 "/ 27.9 p/s) were forward-only: the step returned just the "
@@ -208,7 +227,11 @@ def main():
         # last good committed measurement, honestly marked.
         with open(LAST_FILE) as f:
             record = json.load(f)
-        record["note"] = "cached (fresh measure exceeded BENCH_BUDGET_S; see BENCH_LAST.json)"
+        record["note"] = (
+            "cached (fresh measure exceeded BENCH_BUDGET_S; see BENCH_LAST.json; "
+            f"pinned at commit {record.pop('commit', 'unknown')} "
+            f"{record.pop('measured_at', '?')})"
+        )
         print(json.dumps(record), flush=True)
     elif not ok:
         print(

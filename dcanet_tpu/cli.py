@@ -194,6 +194,25 @@ def _protocol_preset(cfg) -> str:
     return "generic"
 
 
+def _parse_vis_band(spec: str):
+    """'lo:hi' (full-resolution disparity band, floats) -> (lo, hi).
+    Validated ONCE at eval entry so a malformed flag fails fast instead of
+    crashing mid-eval with an opaque unpack error."""
+    parts = spec.split(":")
+    try:
+        if len(parts) != 2:
+            raise ValueError
+        lo, hi = float(parts[0]), float(parts[1])
+    except ValueError:
+        raise SystemExit(
+            f"--vis-band must be 'lo:hi' with lo/hi full-resolution "
+            f"disparities (e.g. '39:50'), got {spec!r}"
+        )
+    if not lo < hi:
+        raise SystemExit(f"--vis-band needs lo < hi, got {spec!r}")
+    return lo, hi
+
+
 def cmd_eval(cfg, ckpt_path=None):
     from dcanet_tpu.data.eval_protocol import eval_transform
     from dcanet_tpu.train.checkpoint import CheckpointManager
@@ -235,6 +254,7 @@ def cmd_eval(cfg, ckpt_path=None):
     confusions = None  # one confusion matrix per DCA prob volume
     logger = MetricLogger(cfg.logdir, use_tensorboard=cfg.use_tensorboard)
     protocol = _protocol_preset(cfg)
+    vis_band = _parse_vis_band(cfg.vis_band) if cfg.vis_band else None
     with mesh_ctx:
         for i in range(len(ds)):
             # reference test-time geometry per dataset (KITTI bottom-right
@@ -243,7 +263,7 @@ def cmd_eval(cfg, ckpt_path=None):
             # shapes per dataset, so `fwd` compiles O(1) times.
             left, right, gt, pads = eval_transform(ds[i], protocol)
             out = fwd(left[None], right[None])
-            _eval_one(cfg, i, out, gt, left, pads, meters, logger, state)
+            _eval_one(cfg, i, out, gt, left, pads, meters, logger, state, vis_band)
             if out.class_logits:
                 # score EVERY DCA volume like the reference's metric_1/
                 # metric_2 loop (main_dca.py:209-244), not just the last
@@ -275,7 +295,7 @@ def cmd_eval(cfg, ckpt_path=None):
     return results
 
 
-def _eval_one(cfg, i, out, gt, left, pads, meters, logger, state):
+def _eval_one(cfg, i, out, gt, left, pads, meters, logger, state, vis_band=None):
     from dcanet_tpu.data.loader import unpad
     from dcanet_tpu.train.metrics import per_image_metrics
     from dcanet_tpu.utils.visualization import disp_error_image
@@ -300,9 +320,13 @@ def _eval_one(cfg, i, out, gt, left, pads, meters, logger, state):
         for vi, lg in enumerate(getattr(out, "class_logits", ()) or ()):
             prob = np.asarray(jax.nn.softmax(lg[0], axis=0), np.float32)
             dcls = np.arange(prob.shape[0])[:, None, None]
-            if cfg.vis_band:
-                lo, hi_d = (float(x) for x in cfg.vis_band.split(":"))
-                band = (dcls >= lo / 8.0) & (dcls < hi_d / 8.0)
+            if vis_band is not None:
+                # class index -> full-res disparity scale, derived from this
+                # volume's own class count (maxdisp/8 classes at the flagship's
+                # 1/8-res CVA logits; stays correct for other logit resolutions)
+                scale = cfg.maxdisp / prob.shape[0]
+                lo, hi_d = vis_band
+                band = (dcls >= lo / scale) & (dcls < hi_d / scale)
             else:
                 band = np.abs(dcls - np.argmax(prob, axis=0)[None]) <= 1
             mass = (prob * band).sum(0)

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 
 
 def _sga_step(prev, c, wt):
-    """One recurrence update. prev/c: (..., D, X); wt: (..., 5, 1, 1)
-    broadcast over (D, X). D rides the SUBLANE axis and the wide spatial
+    """One recurrence update. prev/c: (..., D, X); wt: (..., 5, 1, X)
+    (per-pixel weights: broadcast over D only, X is explicit). D rides the SUBLANE axis and the wide spatial
     axis X rides the LANES (X is W or H >= 96 at production shapes, vs
     D = 48 — lane-major D wasted 2/3 of each vector register)."""
     w0, w1, w2, w3, w4 = [wt[..., i, :, :] for i in range(5)]

@@ -144,3 +144,22 @@ def test_kd_select_pallas_matches_shift(rng, monkeypatch):
     g_pl = jax.grad(lambda yy: loss("pallas", yy))(y)
     g_sh = jax.grad(lambda yy: loss("shift", yy))(y)
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_sh), rtol=1e-5, atol=1e-5)
+
+
+def test_deconv2x_flat_rejects_unpacked_operands():
+    """An UNPACKED (B, 2D, 2H, 2W, Co) tensor has the same element count as
+    the packed (B, D, H, W, 8Co) layout, so without the shape guard the
+    reshape would succeed and silently corrupt the output (ADVICE r3/r4)."""
+    from dcanet_tpu.kernels.deconv3d import deconv2x_flat
+
+    y = jnp.zeros((1, 4, 4, 6, 8), jnp.float32)
+    w = jnp.zeros((3, 3, 3, 8, 4), jnp.float32)
+    bad = jnp.zeros((1, 8, 8, 12, 4), jnp.float32)  # unpacked, same numel
+    good = jnp.zeros((1, 4, 4, 6, 32), jnp.float32)
+    with pytest.raises(ValueError, match="packed"):
+        deconv2x_flat(y, w, packed_residual=bad)
+    with pytest.raises(ValueError, match="packed"):
+        deconv2x_flat(y, w, post_packed_add=bad)
+    # the correctly packed layout passes the guard
+    out = deconv2x_flat(y, w, packed_residual=good, post_packed_add=good)
+    assert out.shape == (1, 8, 8, 12, 4)
