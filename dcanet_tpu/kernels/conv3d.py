@@ -275,91 +275,23 @@ def _kd_select_shift(y, co: int, d_stride: int = 1):
     return y0 + y1 + y2
 
 
-_KD_TW = 128  # HW sublanes per program for the Pallas select
-
-
-def _kd_sel_fwd_kernel(y_ref, o_ref, *, d: int, co: int):
-    y = y_ref[0]  # (D+2, TW, 3co), D-padded by the wrapper
-    o_ref[0] = (
-        y[0:d, :, 0:co] + y[1 : d + 1, :, co : 2 * co] + y[2 : d + 2, :, 2 * co :]
-    ).astype(o_ref.dtype)
-
-
-def _kd_sel_bwd_kernel(g_ref, o_ref, *, d: int, co: int):
-    g = g_ref[0]  # (D+2, TW, co), D-padded cotangent
-    # transpose of the fwd shifts: dy[d] = [g[d+1] | g[d] | g[d-1]] on lanes
-    o_ref[0] = jnp.concatenate(
-        [g[2 : d + 2], g[1 : d + 1], g[0:d]], axis=-1
-    ).astype(o_ref.dtype)
-
-
-def _kd_select_pallas_call(y4, co: int, kernel, out_c: int):
-    b, d2, hw, _ = y4.shape
-    d = d2 - 2
-    tw = _KD_TW
-    out = pl.pallas_call(
-        functools.partial(kernel, d=d, co=co),
-        grid=(b, hw // tw),
-        in_specs=[
-            pl.BlockSpec(
-                (1, d2, tw, y4.shape[-1]), lambda bi, ti: (bi, 0, ti, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ],
-        out_specs=pl.BlockSpec(
-            (1, d, tw, out_c), lambda bi, ti: (bi, 0, ti, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, d, hw, out_c), y4.dtype),
-        interpret=_INTERPRET,
-    )(y4)
-    return out
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _kd_select_pallas(y4, co: int):
-    """Pallas form of the stride-1 kd select on (B, D, HW, 3co): exact
-    roofline traffic (one read + one write), custom transpose (the op is
-    linear). Falls back implicitly via _kd_select's dispatch (requires
-    HW % 128 == 0)."""
-    yp = jnp.pad(y4, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    return _kd_select_pallas_call(yp, co, _kd_sel_fwd_kernel, co)
-
-
-def _kd_sel_pl_fwd(y4, co):
-    return _kd_select_pallas(y4, co), None
-
-
-def _kd_sel_pl_bwd(co, _, g):
-    gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    return (_kd_select_pallas_call(gp, co, _kd_sel_bwd_kernel, 3 * co),)
-
-
-_kd_select_pallas.defvjp(_kd_sel_pl_fwd, _kd_sel_pl_bwd)
-
-
 def _kd_select_flat(yflat, co: int, d_stride: int = 1):
     """Step-2 dispatch on the FLAT (B, D, HW, 3co) form.
 
-    DCANET_KD_SELECT = "shift" (default) | "pallas" | "conv":
+    DCANET_KD_SELECT = "shift" (default) | "conv":
       shift  — three D-shifted lane-slice adds (pure XLA). Measured per
                conv (bf16): eval shape 2.55 ms / train 1.49 / train bwd
                3.59 — the winner.
-      pallas — the roofline-traffic kernel below (stride 1, HW%128==0, TPU
-               only; falls back to shift otherwise). Measured SLOWER than
-               shift (eval 4.93 / train 2.82 / bwd 5.25 ms): XLA inserts
-               layout copies around the opaque pallas_call — the same tax
-               that sank the direct Pallas conv (+1.7 ms, header above).
-               Kept for the record + future toolchains.
       conv   — the original (3,1)-kernel 0/1 selection conv (dense-matmul
-               rates: 3.08/6.35 ms train; kept for A/Bs)"""
+               rates: 3.08/6.35 ms train; kept for A/Bs).
+    A Pallas roofline-traffic form (one read + one write, custom transpose)
+    was built and measured SLOWER than shift (eval 4.93 / train 2.82 / bwd
+    5.25 ms): XLA inserts layout copies around the opaque pallas_call — the
+    same tax that sank the direct Pallas conv (+1.7 ms, header above). The
+    losing arm was pruned in r5 (git history has the kernel)."""
     import os
 
     mode = os.environ.get("DCANET_KD_SELECT", "shift")
-    if mode == "pallas" and d_stride == 1 and yflat.shape[2] % _KD_TW == 0 and (
-        _INTERPRET or jax.default_backend() == "tpu"
-    ):
-        return _kd_select_pallas(yflat, co)
     if mode != "conv":
         return _kd_select_shift(yflat, co, d_stride)
     b, d, hw, c3 = yflat.shape

@@ -127,6 +127,37 @@ class MultiAggregation(nn.Module):
                 post_packed_add=post, relu=True,
             )
 
+        from dcanet_tpu.nn.layers import packed_train_bn_enabled
+
+        packed_train = (
+            train
+            and packed_train_bn_enabled(self.dtype)
+            and all(s % 2 == 0 for s in x.shape[1:4])
+        )
+        if packed_train:
+            # TRAIN-mode packed tail: BN statistics, redir add, relu and the
+            # model-level residual all happen in the subpixel deconv's PACKED
+            # (B, D/2, H/2, W/2, 8c) domain; ONE interleave is the final
+            # write. Interleaving first and handing flax BN the result makes
+            # XLA materialize a 4x-padded f32 relayout at the BN reduce
+            # (1.5 GB for a 384 MB tensor at b8 256x512 — the r4 OOM).
+            from dcanet_tpu.kernels.deconv3d import (
+                deconv2x_flat,
+                interleave2x,
+                pack2x_pointwise,
+            )
+
+            dt = self.dtype
+            wk = deconv(y, kernel_only=True)
+            yv = y if dt is None else y.astype(dt)
+            z = deconv2x_flat(yv, wk.astype(yv.dtype), interleave=False)
+            zb = bn(z, train, parity_packed=True)
+            zr = redir(x, train, packed_out=True)
+            out = nn.relu(zb + zr.astype(zb.dtype))
+            if post_residual is not None:
+                out = out + pack2x_pointwise(post_residual.astype(out.dtype))
+            return interleave2x(out, c)
+
         y = _deconv_bn(deconv, bn, y, c, train)
         out = nn.relu(y + redir(x, train))
         return out if post_residual is None else out + post_residual

@@ -187,26 +187,14 @@ class Conv(nn.Conv):
                 strides,
             )
         )
-        from dcanet_tpu.kernels.conv2d import conv2d_khfold, supports_khfold
-
-        # 2D analog (kh folded into output channels): 2.3x at the layer1
-        # shape in ISOLATION (tools/profile_conv2d_fold.py: 0.56 vs 1.27 ms
-        # for a bare 4-conv chain) but a net LOSS inside the extractor
+        # NB a 2D kh-fold analog (kh folded into output channels) was built
+        # and A/B'd in r3/r4: 2.3x at the layer1 shape in ISOLATION
+        # (tools/profile_conv2d_fold.py, self-contained: 0.56 vs 1.27 ms for
+        # a bare 4-conv chain) but a net LOSS inside the extractor
         # (tools/profile_feature.py: 7.7 vs 6.6 ms — the select conv breaks
-        # fusion with the BasicBlock residual adds), so DEFAULT OFF;
-        # DCANET_CONV2D_KHFOLD=1 re-enables for A/Bs.
-        import os as _os
-
-        fast2 = (
-            n == 2
-            and _os.environ.get("DCANET_CONV2D_KHFOLD", "0") == "1"
-            and parts is None
-            and dilation == (1, 1)
-            and padding == ((1, 1), (1, 1))
-            and x.dtype == jnp.bfloat16
-            and on_tpu
-            and supports_khfold(x.shape, kernel_shape, strides)
-        )
+        # fusion with the BasicBlock residual adds). The losing arm
+        # (DCANET_CONV2D_KHFOLD / kernels/conv2d.py) was pruned in r5; the
+        # measurement harness keeps its own copy.
         import os
 
         # A/B knob (trace-time): DCANET_POINTWISE_MATMUL=0 routes pointwise
@@ -256,14 +244,6 @@ class Conv(nn.Conv):
                 residual = None  # consumed
             if co_pad:
                 y = y[..., : self.features]
-        elif fast2:
-            inject2 = residual if residual is not None and strides == (1, 1) else None
-            y = conv2d_khfold(
-                x, kernel, strides=strides, bias=e_bias, residual=inject2
-            )
-            e_bias = None
-            if inject2 is not None:
-                residual = None  # consumed
         else:
             if parts is not None:
                 x = jnp.concatenate(parts, axis=-1)
@@ -285,6 +265,75 @@ class Conv(nn.Conv):
         return y
 
 
+class _ParityPackedBN(nn.Module):
+    """nn.BatchNorm-equivalent over a parity-PACKED volume z (..., 8*C)
+    (space-to-depth channel order (pd, ph, pw, c) — kernels/deconv3d.py).
+
+    Per-channel statistics are folded across the 8 parity blocks: the SAME
+    element set as BN over the interleaved (..., C) volume, but computed
+    entirely in the flat 256-lane domain. The alternative — interleave2x then
+    flax BN — makes XLA materialize the interleave output in a 4x-padded f32
+    layout at the BN reduce (measured 1.5 GB for a 384 MB tensor at b8
+    256x512; the b8 OOM of TODO.md r4). No (…, 8, C) minor-dim split either:
+    that re-introduces the same padded tiling.
+
+    The variable tree matches nn.BatchNorm exactly (params scale/bias,
+    batch_stats mean/var, all (C,)) so train/eval traces and checkpoints are
+    interchangeable; momentum/eps pin the same torch-equivalent defaults as
+    the BatchNorm wrapper below. Stats accumulate in f32 like flax BN."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, z, train: bool):
+        c = z.shape[-1] // 8
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda *_: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda *_: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if train:
+            zf = z.astype(jnp.float32)
+            n = z.size // c  # elements per real channel (incl. parity blocks)
+            red = tuple(range(z.ndim - 1))
+            s1 = jnp.sum(zf, axis=red)  # (8c,), flat reduce — layout-friendly
+            s2 = jnp.sum(zf * zf, axis=red)
+            mean = s1.reshape(8, c).sum(0) / n
+            var = s2.reshape(8, c).sum(0) / n - mean * mean
+            if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"
+            ):
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        a = jnp.tile(inv, 8)  # packed channels are parity-major: tile matches
+        b = jnp.tile(bias - mean * inv, 8)
+        return z * a.astype(z.dtype) + b.astype(z.dtype)
+
+
+def packed_train_bn_enabled(dtype) -> bool:
+    """Gate for the parity-packed TRAIN BN tail in MultiAggregation (BN +
+    redir add + relu before the interleave). DCANET_PACKED_TRAIN_BN=0
+    disables (A/B), =1 forces (CPU parity tests), unset = auto (TPU bf16,
+    where the subpixel train deconv already produces the packed form)."""
+    import os
+
+    knob = os.environ.get("DCANET_PACKED_TRAIN_BN", "")
+    if knob == "1":
+        return True
+    if knob == "0":
+        return False
+    return dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+
+
 class BatchNorm(nn.Module):
     """Thin wrapper pinning torch-equivalent BN defaults (momentum 0.1 torch
     == 0.9 flax decay, eps 1e-5).
@@ -294,13 +343,23 @@ class BatchNorm(nn.Module):
     the inner flax BN by probing it with zeros/ones vectors, so the params,
     their init, and the variable tree stay byte-identical to the unfused
     path. Callers fold the affine into the preceding conv (see Conv
-    `epilogue`)."""
+    `epilogue`).
+
+    `parity_packed=True` treats `x` as a parity-packed (..., 8*C) volume and
+    applies _ParityPackedBN under the same inner scope name, so the variable
+    tree is identical to the plain path."""
 
     axis_name: Optional[str] = None
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, fold: bool = False):
+    def __call__(
+        self, x, train: bool, fold: bool = False, parity_packed: bool = False
+    ):
+        if parity_packed:
+            return _ParityPackedBN(
+                momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0"
+            )(x, train)
         if fold:
             assert not train, "BN folding is eval-only"
             feat = int(x)
@@ -338,12 +397,19 @@ class ConvBN(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool, residual=None, fold_params=False):
+    def __call__(
+        self, x, train: bool, residual=None, fold_params=False, packed_out=False
+    ):
         """`residual` is added AFTER the BN (out = BN(conv(x)) + residual);
         on the folded-eval path it is injected into the conv epilogue.
         `fold_params=True` (eval only) registers the params and returns
         `(kernel_f32, scale, bias)` for callers that fuse this ConvBN into a
-        composite kernel instead of running it."""
+        composite kernel instead of running it.
+        `packed_out=True` (pointwise 3D ConvBN only) returns the output as a
+        parity-PACKED (B, D/2, H/2, W/2, 8*features) volume: the conv runs as
+        a fused pack (kernels/deconv3d.py::pack2x_pointwise) and the BN folds
+        its statistics across the parity blocks — same math, flat layout.
+        Works in train (the MultiAggregation packed-train redir)."""
         n = self.dims
         pad = _tuple(self.padding, n)
         conv = Conv(
@@ -362,6 +428,16 @@ class ConvBN(nn.Module):
             kernel = conv(x, kernel_only=True)
             scale, bias = bn(self.features, train, fold=True)
             return kernel, scale, bias
+        if packed_out:
+            assert n == 3 and _tuple(self.kernel, n) == (1, 1, 1)
+            assert not self.use_bias and residual is None
+            from dcanet_tpu.kernels.deconv3d import pack2x_pointwise
+
+            kernel = conv(x, kernel_only=True)
+            dt = self.dtype or x.dtype
+            wmat = kernel.reshape(x.shape[-1], self.features).astype(dt)
+            z = pack2x_pointwise(x.astype(dt), wmat)
+            return bn(z, train, parity_packed=True)
         if not train and fold_eval_bn_enabled(self.dtype):
             return conv(
                 x, epilogue=bn(self.features, train, fold=True),

@@ -57,32 +57,6 @@ def test_kdfold_conv3d_fastpath_matches(rng, fake_tpu, strides):
     )
 
 
-@pytest.mark.parametrize("strides", [(1, 1), (2, 2)])
-def test_khfold_conv2d_fastpath_matches(rng, fake_tpu, strides, monkeypatch):
-    monkeypatch.setenv("DCANET_CONV2D_KHFOLD", "1")  # off by default
-    x = jnp.asarray(rng.standard_normal((2, 10, 12, 8)), jnp.bfloat16)
-    y, k = _run_conv(x, 16, (3, 3), strides, ((1, 1),) * 2, True, dtype=jnp.bfloat16)
-    want = _conv_ref(x, k, strides, ((1, 1),) * 2)
-    assert y.shape == want.shape
-    np.testing.assert_allclose(
-        np.asarray(y, np.float32), np.asarray(want, np.float32), rtol=0.05, atol=0.05
-    )
-
-
-def test_khfold_conv2d_bias_matches(rng):
-    from dcanet_tpu.kernels.conv2d import conv2d_khfold
-
-    x = jnp.asarray(rng.standard_normal((2, 9, 12, 8)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)), jnp.float32) * 0.2
-    b = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
-    want = _conv_ref(x, w, (1, 1), ((1, 1),) * 2) + b
-    got = conv2d_khfold(x, w, bias=b)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
-    want2 = _conv_ref(x, w, (2, 2), ((1, 1),) * 2) + b
-    got2 = conv2d_khfold(x, w, (2, 2), bias=b)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-4)
-
-
 def _avgpool_ref(x):
     # monolithic torch-equivalent reference (count_include_pad=True)
     summed = jax.lax.reduce_window(

@@ -307,41 +307,6 @@ def test_dcanet_packed_eval_matches(rng, monkeypatch):
         assert np.abs(aa - bb).max() / max(np.abs(aa).max(), 1e-3) < 0.06
 
 
-def test_khfold_residual_matches_xla(rng):
-    """conv2d_khfold(x, w, bias=b, residual=r) == native 3x3 conv + b + r in
-    f32, including odd H (ADVICE r3: the kd-fold analogue had this test, the
-    2D one was only covered indirectly at 5% bf16 tolerance)."""
-    from dcanet_tpu.kernels.conv2d import conv2d_khfold
-
-    def native(x, wt):
-        return jax.lax.conv_general_dilated(
-            x, wt, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-
-    for h in (8, 9):  # even and odd H (boundary-row off-by-ones)
-        b, w, c, co = 1, 11, 8, 16
-        x = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
-        wt = jnp.asarray(rng.standard_normal((3, 3, c, co), dtype=np.float32)) * 0.2
-        r = jnp.asarray(rng.standard_normal((b, h, w, co), dtype=np.float32))
-        bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
-
-        want = native(x, wt) + bias + r
-        got = conv2d_khfold(x, wt, bias=bias, residual=r)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
-
-    # stride-2 with bias only (residual requires stride 1)
-    x = jnp.asarray(rng.standard_normal((1, 9, 11, 8), dtype=np.float32))
-    wt = jnp.asarray(rng.standard_normal((3, 3, 8, 16), dtype=np.float32)) * 0.2
-    bias = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
-    want = jax.lax.conv_general_dilated(
-        x, wt, (2, 2), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + bias
-    got = conv2d_khfold(x, wt, strides=(2, 2), bias=bias)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
-
-
 @pytest.mark.slow
 def test_eval_dialect_accuracy_on_trained_weights(monkeypatch):
     """bf16-folded and bf16-packed eval vs f32-unfolded eval on TRAINED
@@ -408,3 +373,55 @@ def test_eval_dialect_accuracy_on_trained_weights(monkeypatch):
         assert drift_mean < 0.1, (
             f"{name}: mean |disp - disp_f32| = {drift_mean:.4f} px"
         )
+
+
+def test_packed_train_bn_parity(monkeypatch, rng):
+    """The TRAIN-mode packed tail (DCANET_PACKED_TRAIN_BN=1: parity-folded BN
+    stats + packed redir/residual adds before the interleave) must match the
+    default interleave-then-flax-BN path: outputs, gradients, and the updated
+    running statistics."""
+    from dcanet_tpu.nn.aggregation import MultiAggregation
+
+    b, d, h, w, c = 2, 8, 6, 10, 8
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, c), dtype=np.float32))
+    pr = jnp.asarray(rng.standard_normal((b, d, h, w, c), dtype=np.float32))
+    m = MultiAggregation(channels=c)
+
+    monkeypatch.setenv("DCANET_PACKED_TRAIN_BN", "0")
+    variables = m.init(jax.random.PRNGKey(0), x, True)
+    variables = _randomize_bn_stats(variables, rng)
+
+    def run(knob):
+        monkeypatch.setenv("DCANET_PACKED_TRAIN_BN", knob)
+        out, mut = m.apply(
+            variables, x, True, post_residual=pr, mutable=["batch_stats"]
+        )
+        return out, mut["batch_stats"]
+
+    out0, bs0 = run("0")
+    out1, bs1 = run("1")
+    assert out1.shape == out0.shape
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-4, atol=1e-4)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        ),
+        bs1, bs0,
+    )
+
+    def loss(params, knob):
+        monkeypatch.setenv("DCANET_PACKED_TRAIN_BN", knob)
+        out, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, True, post_residual=pr, mutable=["batch_stats"],
+        )
+        return jnp.sum(out * out)
+
+    g0 = jax.grad(lambda p: loss(p, "0"))(variables["params"])
+    g1 = jax.grad(lambda p: loss(p, "1"))(variables["params"])
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        ),
+        g1, g0,
+    )

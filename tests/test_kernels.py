@@ -122,30 +122,6 @@ def test_gwc_custom_vjp_matches_xla_grad(rng):
     np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_ref), rtol=1e-5, atol=1e-5)
 
 
-def test_kd_select_pallas_matches_shift(rng, monkeypatch):
-    """Pallas kd-select (fwd + custom transpose) == the XLA shift form."""
-    import dcanet_tpu.kernels.conv3d as K
-
-    monkeypatch.setattr(K, "_INTERPRET", True)
-    b, d, hw, co = 2, 6, 256, 8
-    y = jnp.asarray(rng.standard_normal((b, d, hw, 3 * co)), jnp.float32)
-
-    monkeypatch.setenv("DCANET_KD_SELECT", "pallas")
-    got = K._kd_select_flat(y, co)
-    monkeypatch.setenv("DCANET_KD_SELECT", "shift")
-    want = K._kd_select_flat(y, co)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
-
-    def loss(mode, yy):
-        monkeypatch.setenv("DCANET_KD_SELECT", mode)
-        out = K._kd_select_flat(yy, co)
-        return jnp.sum(out * out)
-
-    g_pl = jax.grad(lambda yy: loss("pallas", yy))(y)
-    g_sh = jax.grad(lambda yy: loss("shift", yy))(y)
-    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_sh), rtol=1e-5, atol=1e-5)
-
-
 def test_deconv2x_flat_rejects_unpacked_operands():
     """An UNPACKED (B, 2D, 2H, 2W, Co) tensor has the same element count as
     the packed (B, D, H, W, 8Co) layout, so without the shape guard the
