@@ -162,11 +162,16 @@ def interleave2x(z, co: int):
     return z.reshape(b, 2 * d8, 2 * h8, 2 * w8, co)
 
 
-def pack2x_pointwise(x, w=None, bias=None):
+def pack2x_pointwise(x, w=None, bias=None, shift_d=None):
     """Packed space-to-depth of `pointwise_conv(x, w) + bias` on the conv
     path. x: (B, D, H, W, Ci), D/H/W even; w: (Ci, Co) or None (identity
     pack, Co=Ci); bias: (Co,) or None. Returns (B, D/2, H/2, W/2, 8*Co)
-    with channel order (pd, ph, pw, co)."""
+    with channel order (pd, ph, pw, co).
+
+    `shift_d` overrides the step-2 dialect per call site: True = lane concat
+    of even/odd D planes (free; no stored select activation — the TRAIN
+    path's choice), False = the 0/1 selection conv (fuses into the packed
+    EVAL dialect), None = the DCANET_SD_SELECT knob default."""
     b, d, h, wd, ci = x.shape
     if w is None:
         w = jnp.eye(ci, dtype=x.dtype)
@@ -176,7 +181,7 @@ def pack2x_pointwise(x, w=None, bias=None):
     wp = wp.reshape(2, 2, ci, 4 * co)
     z = _conv2d(x.reshape(b * d, h, wd, ci), wp, (2, 2), ((0, 0), (0, 0)))
     z = z.reshape(b, d, (h // 2) * (wd // 2), 4 * co)
-    if _sd_shift_enabled("pack"):
+    if _sd_shift_enabled("pack") if shift_d is None else shift_d:
         # D-parity into the pd channel block == lane concat of the even and
         # odd D planes (the 0/1 selection conv burns 23 GF of dense matmul)
         z = jnp.concatenate([z[:, 0::2], z[:, 1::2]], axis=-1)

@@ -141,11 +141,7 @@ class MultiAggregation(nn.Module):
             # write. Interleaving first and handing flax BN the result makes
             # XLA materialize a 4x-padded f32 relayout at the BN reduce
             # (1.5 GB for a 384 MB tensor at b8 256x512 — the r4 OOM).
-            from dcanet_tpu.kernels.deconv3d import (
-                deconv2x_flat,
-                interleave2x,
-                pack2x_pointwise,
-            )
+            from dcanet_tpu.kernels.deconv3d import deconv2x_flat, interleave2x
 
             dt = self.dtype
             wk = deconv(y, kernel_only=True)
@@ -153,10 +149,12 @@ class MultiAggregation(nn.Module):
             z = deconv2x_flat(yv, wk.astype(yv.dtype), interleave=False)
             zb = bn(z, train, parity_packed=True)
             zr = redir(x, train, packed_out=True)
-            out = nn.relu(zb + zr.astype(zb.dtype))
-            if post_residual is not None:
-                out = out + pack2x_pointwise(post_residual.astype(out.dtype))
-            return interleave2x(out, c)
+            out = interleave2x(nn.relu(zb + zr.astype(zb.dtype)), c)
+            # the model-level residual adds AFTER the interleave: packing it
+            # (identity pack2x) costs a stored full-volume activation in the
+            # backward — measured as the b8 OOM regression of the first
+            # packed-train attempt
+            return out if post_residual is None else out + post_residual
 
         y = _deconv_bn(deconv, bn, y, c, train)
         out = nn.relu(y + redir(x, train))

@@ -321,17 +321,23 @@ class _ParityPackedBN(nn.Module):
 
 def packed_train_bn_enabled(dtype) -> bool:
     """Gate for the parity-packed TRAIN BN tail in MultiAggregation (BN +
-    redir add + relu before the interleave). DCANET_PACKED_TRAIN_BN=0
-    disables (A/B), =1 forces (CPU parity tests), unset = auto (TPU bf16,
-    where the subpixel train deconv already produces the packed form)."""
+    redir add + relu before the interleave). DCANET_PACKED_TRAIN_BN=1
+    enables; default OFF.
+
+    Measured r5 (v5e, 256x512 sceneflow step): the r4 hypothesis — that the
+    interleave->flax-BN boundary's 4x-padded f32 relayout is the b8 OOM and
+    a packed-domain BN would fix it — is REFUTED. With stats, redir add and
+    relu all in the packed domain (this path, parity-verified), b8 still
+    OOMs by 1.57 G (vs 1.65 G for the naive packed variant; plain was
+    ~20 MB short pre-r5): the b8 wall is the deep-supervision activation
+    set, for which --remat (models/dcanet.py) is the working tool. At b2/b4
+    the packed tail is a net LOSS (162.7 vs 156.2 ms b2; 310.8 vs 296.6 ms
+    b4 for the naive variant): the redir pack's parity-structured conv
+    burns 4x pointwise FLOPs and stores extra backward activations. Kept
+    behind the knob with the parity test + knob-matrix coverage."""
     import os
 
-    knob = os.environ.get("DCANET_PACKED_TRAIN_BN", "")
-    if knob == "1":
-        return True
-    if knob == "0":
-        return False
-    return dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+    return os.environ.get("DCANET_PACKED_TRAIN_BN", "0") == "1"
 
 
 class BatchNorm(nn.Module):
@@ -436,7 +442,7 @@ class ConvBN(nn.Module):
             kernel = conv(x, kernel_only=True)
             dt = self.dtype or x.dtype
             wmat = kernel.reshape(x.shape[-1], self.features).astype(dt)
-            z = pack2x_pointwise(x.astype(dt), wmat)
+            z = pack2x_pointwise(x.astype(dt), wmat, shift_d=True)
             return bn(z, train, parity_packed=True)
         if not train and fold_eval_bn_enabled(self.dtype):
             return conv(

@@ -38,10 +38,10 @@ EVAL_SETTINGS = [
 ]
 TRAIN_SETTINGS = [
     {"DCANET_DECONV_SUBPIXEL_TRAIN": "0"},
-    {"DCANET_PACKED_TRAIN_BN": "0"},
+    {"DCANET_PACKED_TRAIN_BN": "1"},  # off by default (measured loss, r5)
     {"DCANET_KD_SELECT": "conv"},
     {"DCANET_POINTWISE_MATMUL": "0"},
-    {"DCANET_PACKED_TRAIN_BN": "0", "DCANET_DECONV_SUBPIXEL_TRAIN": "0"},
+    {"DCANET_PACKED_TRAIN_BN": "1", "DCANET_DECONV_SUBPIXEL_TRAIN": "0"},
 ]
 
 _ids = lambda s: "+".join(f"{k.replace('DCANET_', '')}={v}" for k, v in s.items())
