@@ -215,6 +215,7 @@ def main():
 
     budget = float(os.environ.get("BENCH_BUDGET_S", "240"))
     env = dict(os.environ, BENCH_INNER="1")
+    t_start = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, timeout=budget
@@ -222,6 +223,12 @@ def main():
         ok = proc.returncode == 0
     except subprocess.TimeoutExpired:
         ok = False
+    if not ok and os.path.exists(LAST_FILE) and os.path.getmtime(LAST_FILE) > t_start:
+        # the headline eval measure SUCCEEDED (the child wrote a fresh pin
+        # and printed its JSON line) before a later opt-in stage (e.g.
+        # BENCH_TRAIN) failed — do not shadow the fresh line with a stale
+        # cached reprint.
+        ok = True
     if not ok and os.path.exists(LAST_FILE):
         # fresh measure missed the budget (cold compile cache): report the
         # last good committed measurement, honestly marked.

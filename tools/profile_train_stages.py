@@ -78,6 +78,83 @@ def stage_timings():
     fwd_bwd("MultiAggregation", MultiAggregation(32, dtype=DT), cvol)
 
 
+def tail_timings():
+    """The r4 'remainder ~25 ms' bucket, split (VERDICT r4 #1): propagation
+    head (guidance-consuming mask conv + convex upsample at full res), the
+    focal ladder, the smooth-L1 ladder's up8+soft-argmin leg, and the concat
+    volume — each fwd and fwd+bwd."""
+    from flax import linen as nn
+
+    from dcanet_tpu import losses
+    from dcanet_tpu.nn.guidance import Guidance
+    from dcanet_tpu.nn.propagation import PropagationNet
+    from dcanet_tpu.ops.cost_volume import build_concat_volume
+    from dcanet_tpu.ops.regression import disparity_regression
+    from dcanet_tpu.ops.upsample import resize_trilinear
+
+    key = jax.random.PRNGKey(0)
+
+    def fb(label, f, *args):
+        tf = device_time(jax.jit(f), *args, iters=8)
+        tg = device_time(
+            jax.jit(
+                lambda *a: sum(
+                    jnp.sum(g.astype(jnp.float32) ** 2)
+                    for g in jax.tree.leaves(jax.grad(f)(*a))
+                )
+            ),
+            *args, iters=8,
+        )
+        print(f"{label:<28s} fwd {tf*1e3:7.2f} ms   fwd+bwd {tg*1e3:7.2f} ms",
+              flush=True)
+
+    gt = jax.random.uniform(key, (B, H, W), jnp.float32, 1.0, 190.0)
+    mask = (gt > 0.0) & (gt < 192.0)
+
+    vols = [
+        jax.nn.softmax(
+            jax.random.normal(jax.random.PRNGKey(i), (B, 48, H // 4, W // 4)),
+            axis=1,
+        )
+        for i in range(5)
+    ]
+    fb("focal ladder x5 (1/4 res)", lambda vs: losses.focal_loss_ladder(vs, gt, 192), vols)
+
+    logits8 = jax.random.normal(key, (B, 24, H // 8, W // 8), jnp.float32)
+
+    def disp_ladder(lg):
+        p = jax.nn.softmax(resize_trilinear(lg, 8), axis=1)
+        d = disparity_regression(p, 192)
+        return losses.model_loss([d, d], gt, mask)
+
+    fb("up8+softargmin+smoothL1", disp_ladder, logits8)
+
+    class PropHead(nn.Module):
+        @nn.compact
+        def __call__(self, img, disp, train=True):
+            g = Guidance(64, dtype=DT)(img, train)["g"]
+            return PropagationNet(64, scale=4, dtype=DT)(g, disp, train)
+
+    img = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+    disp4 = jax.random.uniform(key, (B, H // 4, W // 4), jnp.float32, 0.0, 48.0)
+    ph = PropHead()
+    pv = jax.jit(lambda k, i, d: ph.init(k, i, d, True))(key, img[:1], disp4[:1])
+
+    def propf(i):
+        out, _ = ph.apply(pv, i, disp4, True, mutable=["batch_stats"])
+        return 1e-6 * jnp.sum(out.astype(jnp.float32) ** 2)
+
+    fb("guidance+prop+convex-up", propf, img)
+
+    feat = jax.random.normal(key, (2 * B, H // 4, W // 4, 12), DT)
+
+    def cat(f):
+        v = build_concat_volume(f[:B], f[B:], 48)
+        return 1e-6 * jnp.sum(v.astype(jnp.float32) ** 2)
+
+    fb("concat volume", cat, feat)
+
+
 def sweep():
     import optax
 
@@ -119,6 +196,11 @@ def sweep():
 
 
 if __name__ == "__main__":
-    if "--sweep-only" not in sys.argv:
+    if "--tail-only" in sys.argv:
+        tail_timings()
+    elif "--sweep-only" in sys.argv:
+        sweep()
+    else:
         stage_timings()
-    sweep()
+        tail_timings()
+        sweep()
