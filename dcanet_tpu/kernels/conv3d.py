@@ -284,6 +284,14 @@ def _kd_select_flat(yflat, co: int, d_stride: int = 1):
                3.59 — the winner.
       conv   — the original (3,1)-kernel 0/1 selection conv (dense-matmul
                rates: 3.08/6.35 ms train; kept for A/Bs).
+    r5 chain experiment: in ISOLATED chains the conv form fuses with the
+    next conv's step-1 and wins ~0.45 ms/junction (two chained 32->32 at
+    the bench shape: 4.91 ms conv vs 5.81 shift, singles 2.54), but a
+    per-site kd_chain marking of every chain-interior conv in the flagship
+    measured NEUTRAL at model level (62.1 vs 62.0 ms eval) — in context the
+    junctions fuse differently (epilogue bias/residual injections, Pallas
+    gwc producer) and the isolated win does not compose. The plumbing was
+    reverted; this note is the record.
     A Pallas roofline-traffic form (one read + one write, custom transpose)
     was built and measured SLOWER than shift (eval 4.93 / train 2.82 / bwd
     5.25 ms): XLA inserts layout copies around the opaque pallas_call — the

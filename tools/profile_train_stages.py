@@ -111,14 +111,20 @@ def tail_timings():
     gt = jax.random.uniform(key, (B, H, W), jnp.float32, 1.0, 190.0)
     mask = (gt > 0.0) & (gt < 192.0)
 
-    vols = [
-        jax.nn.softmax(
-            jax.random.normal(jax.random.PRNGKey(i), (B, 48, H // 4, W // 4)),
-            axis=1,
-        )
-        for i in range(5)
-    ]
-    fb("focal ladder x5 (1/4 res)", lambda vs: losses.focal_loss_ladder(vs, gt, 192), vols)
+    vols = jnp.stack(
+        [
+            jax.nn.softmax(
+                jax.random.normal(jax.random.PRNGKey(i), (B, 48, H // 4, W // 4)),
+                axis=1,
+            )
+            for i in range(5)
+        ]
+    )  # stacked: device_time salts array args, not lists
+    fb(
+        "focal ladder x5 (1/4 res)",
+        lambda vs: losses.focal_loss_ladder(list(vs), gt, 192),
+        vols,
+    )
 
     logits8 = jax.random.normal(key, (B, 24, H // 8, W // 8), jnp.float32)
 
