@@ -135,6 +135,18 @@ def cmd_train(cfg):
     if cfg.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}")
+    elif cfg.loadckpt:
+        # fine-tune init: pretrained params + BN stats, fresh optimizer/step
+        from dcanet_tpu.train.checkpoint import load_params_only
+
+        restored = load_params_only(
+            cfg.loadckpt,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"]
+        )
+        print(f"loaded pretrained weights from {cfg.loadckpt}")
 
     loss_cfg = LossConfig(
         max_disp=cfg.maxdisp,
@@ -471,6 +483,12 @@ def main(argv=None):
         sp.add_argument("--logdir", default=None)
         sp.add_argument("--dtype", default=None)
         sp.add_argument("--resume", action="store_true", default=None)
+        sp.add_argument(
+            "--loadckpt", default=None,
+            help="weights-only init for fine-tuning: a `cli export` file; "
+            "params+BN stats are loaded, optimizer/step start fresh "
+            "(reference train_kitti.py:63-66 --loadckpt semantics)",
+        )
         sp.add_argument("--remat", action="store_true", default=None)
         sp.add_argument("--n-disp-shards", type=int, default=None)
         sp.add_argument("--n-data-shards", type=int, default=None)

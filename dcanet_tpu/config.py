@@ -44,6 +44,9 @@ class RunConfig:
     eval_every_epochs: int = 1
     print_freq: int = 20
     resume: bool = False
+    # weights-only fine-tune init (a `cli export` file): params + BN stats
+    # loaded, optimizer/step fresh — reference train_kitti.py --loadckpt
+    loadckpt: str = ""
     # qualitative eval dumps: save input/est/gt/error panels for the first N
     # eval samples (0 = off); reference analog: utils/experiment.py save_images
     log_images: int = 0

@@ -128,9 +128,30 @@ def make_scene(seed: int, h: int, w: int, dmin=4.0, dmax=88.0):
 
 
 def _write_sample(args):
-    root, split, idx, h, w, seed = args
+    root, split, idx, h, w, seed, layout = args
     from PIL import Image
 
+    left, right, disp = make_scene(seed, h, w)
+    if layout in ("kitti2012", "kitti2015"):
+        # KITTI disk layout (*_10 frames, uint16 x256 sparse GT). Sparsity
+        # approximates the lidar GT: ~20% random dropout + the left-edge
+        # band where the match is out of view.
+        rng = np.random.default_rng(seed + 777)
+        xs = np.arange(w)[None, :]
+        valid = (rng.random(disp.shape) > 0.2) & (xs >= disp)
+        enc = np.where(valid, np.clip(disp * 256.0, 1, 65535), 0).astype(np.uint16)
+        name = f"{idx:06d}_10.png"
+        dirs = (
+            ("colored_0", "colored_1", "disp_occ")
+            if layout == "kitti2012"
+            else ("image_2", "image_3", "disp_occ_0")
+        )
+        for d in dirs:
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+        Image.fromarray(left).save(os.path.join(root, dirs[0], name))
+        Image.fromarray(right).save(os.path.join(root, dirs[1], name))
+        Image.fromarray(enc).save(os.path.join(root, dirs[2], name))
+        return
     seq = f"{idx // 100:04d}"
     name = f"{idx % 100:04d}"
     img_dir = os.path.join(root, "frames_finalpass", split, "A", seq)
@@ -141,7 +162,6 @@ def _write_sample(args):
         os.path.join(dsp_dir, "left"),
     ):
         os.makedirs(d, exist_ok=True)
-    left, right, disp = make_scene(seed, h, w)
     Image.fromarray(left).save(os.path.join(img_dir, "left", name + ".png"))
     Image.fromarray(right).save(os.path.join(img_dir, "right", name + ".png"))
     write_pfm(os.path.join(dsp_dir, "left", name + ".pfm"), disp)
@@ -156,14 +176,20 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument(
+        "--layout", default="sceneflow",
+        choices=("sceneflow", "kitti2012", "kitti2015"),
+        help="disk layout; kitti layouts write *_10 frames with uint16 x256 "
+        "SPARSE ground truth (--test is ignored: KITTI has no split here)",
+    )
     a = ap.parse_args()
 
     jobs = [
-        (a.root, "TRAIN", i, a.height, a.width, a.seed * 1_000_000 + i)
+        (a.root, "TRAIN", i, a.height, a.width, a.seed * 1_000_000 + i, a.layout)
         for i in range(a.train)
     ] + [
-        (a.root, "TEST", i, a.height, a.width, a.seed * 1_000_000 + 500_000 + i)
-        for i in range(a.test)
+        (a.root, "TEST", i, a.height, a.width, a.seed * 1_000_000 + 500_000 + i, a.layout)
+        for i in range(a.test if a.layout == "sceneflow" else 0)
     ]
     if a.workers > 1:
         from multiprocessing import Pool
@@ -175,7 +201,8 @@ def main():
     else:
         for j in jobs:
             _write_sample(j)
-    print(f"wrote {a.train} TRAIN + {a.test} TEST samples under {a.root}")
+    n_test = a.test if a.layout == "sceneflow" else 0
+    print(f"wrote {a.train} TRAIN + {n_test} TEST samples under {a.root}")
 
 
 if __name__ == "__main__":
